@@ -1,0 +1,57 @@
+"""Inverse-CDF hierarchical ("fine") sampling.
+
+Contract: sample_pdf (/root/reference/run_nerf_helpers.py:74-115) — build a
+piecewise-constant pdf over coarse bins from compositing weights, invert its
+CDF at uniform (or stratified-deterministic) samples, and linearly
+interpolate bin edges. Samples are treated as constants (z_samples.detach(),
+model/nerf.py:324) — callers should wrap with lax.stop_gradient.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_pdf(bins, weights, n_samples: int, key=None, u=None):
+    """Draw n_samples per ray from the histogram defined by (bins, weights).
+
+    Args:
+      bins: (..., B) bin edge positions (z_vals midpoints).
+      weights: (..., B-1) unnormalized bin masses.
+      key: PRNG key for uniform draws; if None (and u None) uses the
+        deterministic linspace grid (det=True path, run_nerf_helpers.py:82-84).
+      u: optional (..., n_samples) explicit uniforms (for golden-value tests,
+        mirroring the reference's pytest hook, run_nerf_helpers.py:88-97).
+    Returns: (..., n_samples) sample positions.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (...,B)
+
+    if u is None:
+        if key is None:
+            u = jnp.linspace(0.0, 1.0, n_samples)
+            u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+        else:
+            u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+
+    # Batched searchsorted(side="right"): count of cdf entries <= u. A dense
+    # (..., B, N) comparison + sum is gather-free and maps cleanly onto the
+    # VPU (B, N are ~64; jnp.searchsorted itself only takes 1-D inputs).
+    inds = jnp.sum(
+        (cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2
+    )
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)

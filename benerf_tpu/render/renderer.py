@@ -1,0 +1,207 @@
+"""Hierarchical coarse+fine volume renderer (the forward graph).
+
+Mirrors Graph.render (/root/reference/model/nerf.py:236-343) as a pure
+function: rays -> {rgb_map, disp_map, acc_map, rgb0, disp0, acc0, sigma}.
+
+TPU-first notes:
+  - everything is static-shaped; eval renders pad to a fixed chunk so XLA
+    compiles exactly one program per (chunk, settings) pair;
+  - the MLP evaluation goes through benerf_tpu.ops.mlp which dispatches to a
+    fused Pallas kernel on TPU or the pure-jnp path elsewhere;
+  - fine z-samples are stop_gradient'ed like the reference's .detach()
+    (model/nerf.py:324).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from benerf_tpu.render import pdf as pdfm
+from benerf_tpu.render import rays as raysm
+from benerf_tpu.render import volume
+from benerf_tpu.ops import mlp as mlp_ops
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static (hashable) rendering configuration, jit-safe as a closure."""
+
+    n_samples: int = 64
+    n_importance: int = 64
+    channels: int = 3
+    multires: int = 10
+    multires_views: int = 4
+    use_viewdirs: bool = True
+    ndc: bool = True
+    near: float = 0.0
+    far: float = 1.0
+    sigma_noise_std: float = 1.0  # reference quirk: on at train AND eval
+    use_pallas: bool = True
+    compute_dtype: str = "float32"
+    use_barf_c2f: bool = False
+    barf_c2f_start: float = 0.1
+    barf_c2f_end: float = 0.5
+    max_iter: int = 80000
+
+    @classmethod
+    def from_config(cls, cfg) -> "RenderSettings":
+        return cls(
+            n_samples=cfg.N_samples,
+            n_importance=cfg.N_importance,
+            channels=cfg.channels,
+            multires=cfg.multires,
+            multires_views=cfg.multires_views,
+            use_viewdirs=cfg.use_viewdirs,
+            ndc=cfg.ndc,
+            sigma_noise_std=cfg.sigma_noise_std,
+            use_pallas=cfg.use_pallas,
+            compute_dtype=cfg.compute_dtype,
+            use_barf_c2f=cfg.use_barf_c2f,
+            barf_c2f_start=cfg.barf_c2f_start,
+            barf_c2f_end=cfg.barf_c2f_end,
+            max_iter=cfg.max_iter,
+        )
+
+
+def _barf_weights(settings: RenderSettings, step):
+    if not settings.use_barf_c2f or step is None:
+        return None, None
+    from benerf_tpu.models import embedder
+
+    w = embedder.barf_c2f_weights(
+        step, settings.max_iter, settings.multires,
+        settings.barf_c2f_start, settings.barf_c2f_end,
+    )
+    wv = embedder.barf_c2f_weights(
+        step, settings.max_iter, settings.multires_views,
+        settings.barf_c2f_start, settings.barf_c2f_end,
+    )
+    return w, wv
+
+
+def render_rays(
+    nerf_params,
+    nerf_fine_params,
+    rays_o,
+    rays_d,
+    settings: RenderSettings,
+    H: int,
+    W: int,
+    focal,
+    keys: Optional[dict] = None,
+    step=None,
+):
+    """Render a batch of rays through the coarse+fine pipeline.
+
+    Args:
+      rays_o, rays_d: (R, 3) world-space ray origins/directions.
+      H, W, focal: for the NDC warp (of the camera these rays belong to).
+      keys: dict with optional PRNG keys {"z", "pdf", "noise_c", "noise_f"};
+        None or missing entries select the deterministic variant.
+    Returns dict of per-ray maps; rgb0/... are the coarse outputs
+      (model/nerf.py:336-342).
+    """
+    keys = keys or {}
+    n_rays = rays_o.shape[0]
+
+    if settings.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    else:
+        viewdirs = None
+
+    if settings.ndc:
+        rays_o, rays_d = raysm.ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+
+    z_vals = volume.stratified_z(
+        keys.get("z"), n_rays, settings.n_samples, settings.near, settings.far
+    )
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+
+    bw, bwv = _barf_weights(settings, step)
+
+    def run_mlp(params, pts_, viewdirs_):
+        return mlp_ops.mlp_forward(
+            params,
+            pts_,
+            viewdirs_,
+            num_freqs=settings.multires,
+            num_freqs_views=settings.multires_views,
+            barf_weights=bw,
+            barf_weights_views=bwv,
+            use_pallas=settings.use_pallas,
+            compute_dtype=settings.compute_dtype,
+        )
+
+    raw = run_mlp(nerf_params, pts, viewdirs)
+    coarse = volume.composite(
+        raw, z_vals, rays_d, settings.channels,
+        noise_std=settings.sigma_noise_std, key=keys.get("noise_c"),
+    )
+
+    out = {
+        "rgb_map": coarse["rgb_map"],
+        "disp_map": coarse["disp_map"],
+        "acc_map": coarse["acc_map"],
+    }
+
+    if settings.n_importance > 0:
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = pdfm.sample_pdf(
+            z_mid, coarse["weights"][..., 1:-1], settings.n_importance,
+            key=keys.get("pdf"),
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)  # model/nerf.py:324
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
+
+        raw_fine = run_mlp(nerf_fine_params, pts, viewdirs)
+        fine = volume.composite(
+            raw_fine, z_all, rays_d, settings.channels,
+            noise_std=settings.sigma_noise_std, key=keys.get("noise_f"),
+        )
+        out.update(
+            rgb0=coarse["rgb_map"],
+            disp0=coarse["disp_map"],
+            acc0=coarse["acc_map"],
+            sigma=fine["sigma"],
+            rgb_map=fine["rgb_map"],
+            disp_map=fine["disp_map"],
+            acc_map=fine["acc_map"],
+        )
+    return out
+
+
+def render_poses_with_ray_idx(
+    nerf_params,
+    nerf_fine_params,
+    poses,
+    ray_idx,
+    K,
+    H: int,
+    W: int,
+    settings: RenderSettings,
+    keys=None,
+    remap=None,
+    step=None,
+):
+    """Training-path rendering: every pose sees the same pixel subset.
+
+    Output rows are pose-major: [pose0 x all idx, pose1 x all idx, ...]
+    (model/nerf.py:241-254) — the loss slicing relies on this layout.
+
+    Args:
+      poses: (P, 3, 4); ray_idx: (R,) flat pixel indices.
+    """
+    P = poses.shape[0]
+    R = ray_idx.shape[0]
+    idx_tiled = jnp.tile(ray_idx, P)  # (P*R,)
+    poses_tiled = jnp.repeat(poses, R, axis=0)  # (P*R,3,4)
+    rays_o, rays_d = raysm.rays_from_flat_idx(idx_tiled, W, K, poses_tiled, remap)
+    return render_rays(
+        nerf_params, nerf_fine_params, rays_o, rays_d,
+        settings, H, W, K[0, 0], keys=keys, step=step,
+    )
