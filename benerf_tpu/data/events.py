@@ -1,0 +1,124 @@
+"""Event-stream operations: windowing + polarity accumulation (ETA maps).
+
+Reference behavior (/root/reference/model/nerf.py:160-205 and
+utils/event_utils.py:246-276):
+  - per train iteration a contiguous window of the normalized-time stream is
+    selected, either by TIME (length accumulate_time_length, random placement)
+    or by COUNT (round(num*alpha) events starting at a random index);
+  - the window's polarities are scatter-added into an (H, W) "ETA" map;
+  - the window's (start, end) timestamps parameterize the spline poses.
+
+TPU-native design: the full (sorted) stream lives on device as fixed-size
+arrays {pix_idx:int32, ts:f32, pol:f32}; the TIME window is a mask (no
+dynamic shapes), and ETA is ONE fused segment-sum — replacing the reference's
+per-iteration host->device sparse-COO round trip (event_utils.py:246-259).
+The COUNT window uses a static-size dynamic_slice (round(num*alpha) is a
+trace-time constant). Host-side preprocessing (sorting, pixel flattening)
+happens once in `prepare`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class EventArrays(NamedTuple):
+    """Device-resident, time-sorted event stream (normalized ts in [0,1])."""
+
+    pix_idx: jax.Array  # (N,) int32 = y * W + x
+    ts: jax.Array       # (N,) float32
+    pol: jax.Array      # (N,) float32 (+-1 typically)
+
+    @property
+    def num(self) -> int:
+        return self.pix_idx.shape[0]
+
+
+def prepare(x, y, ts, pol, width: int) -> EventArrays:
+    """Host-side: sort by time, flatten pixels. ts must already be in [0,1]."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    ts = np.asarray(ts, np.float32)
+    pol = np.asarray(pol, np.float32)
+    order = np.argsort(ts, kind="stable")
+    pix = (y.astype(np.int64) * width + x.astype(np.int64)).astype(np.int32)
+    return EventArrays(
+        pix_idx=jnp.asarray(pix[order]),
+        ts=jnp.asarray(ts[order]),
+        pol=jnp.asarray(pol[order]),
+    )
+
+
+def accumulate_all(events: EventArrays, hw: int):
+    """Scatter-add every event's polarity into a flat (H*W,) map.
+
+    Equivalent of accumulate_events / accumulate_events_on_gpu
+    (event_utils.py:246-276) as one XLA segment-sum.
+    """
+    return jax.ops.segment_sum(events.pol, events.pix_idx, num_segments=hw)
+
+
+def eta_time_window(events: EventArrays, hw: int, low_t, up_t):
+    """ETA map for the events with low_t <= ts <= up_t (inclusive ends,
+    model/nerf.py:170-172). Mask + one segment-sum; O(N) but bandwidth-tiny
+    compared to the MLP hot loop."""
+    mask = (events.ts >= low_t) & (events.ts <= up_t)
+    return jax.ops.segment_sum(
+        events.pol * mask.astype(events.pol.dtype),
+        events.pix_idx,
+        num_segments=hw,
+    )
+
+
+def sample_time_window(key, window_len: float, random_placement: bool = True):
+    """Pick the window [low, low+window_len] on the unit interval.
+
+    random_placement=True:  low ~ U(0, 1-window_len)   (model/nerf.py:165-166)
+    random_placement=False: low = k*window_len with k ~ U{0..(1-w)//w - 1}
+                            (model/nerf.py:168-169)
+    """
+    if random_placement:
+        low = jax.random.uniform(key) * (1.0 - window_len)
+    else:
+        n_slots = int((1.0 - window_len) // window_len)
+        k = jax.random.randint(key, (), 0, max(n_slots, 1))
+        low = k.astype(jnp.float32) * window_len
+    up = jnp.minimum(low + window_len, 1.0)
+    return low, up
+
+
+def eta_count_window(events: EventArrays, hw: int, key, frac: float,
+                     random_placement: bool = True):
+    """COUNT-mode window: a contiguous slice of round(N*frac) events.
+
+    Returns (eta, t_start, t_end). Static slice size -> no recompilation.
+    Ref: model/nerf.py:179-191,205 (dead in shipped configs but part of the
+    API surface).
+    """
+    n = events.num
+    n_window = int(round(n * frac))
+    if random_placement:
+        start = jax.random.randint(key, (), 0, max(n - n_window, 1))
+    else:
+        n_slots = max((n - n_window) // max(n_window, 1), 1)
+        k = jax.random.randint(key, (), 0, n_slots)
+        start = k * n_window
+    pix = jax.lax.dynamic_slice_in_dim(events.pix_idx, start, n_window)
+    pol = jax.lax.dynamic_slice_in_dim(events.pol, start, n_window)
+    ts = jax.lax.dynamic_slice_in_dim(events.ts, start, n_window)
+    eta = jax.ops.segment_sum(pol, pix, num_segments=hw)
+    return eta, ts[0], ts[n_window - 1]
+
+
+def accumulate_events_numpy(x, y, pol, height: int, width: int):
+    """Host-side scatter-add oracle (tests + visualization).
+
+    Mirrors accumulate_events_no_numba (event_utils.py:276-279).
+    """
+    out = np.zeros((height, width), np.float64)
+    np.add.at(out, (np.asarray(y, np.int64), np.asarray(x, np.int64)), pol)
+    return out

@@ -1,0 +1,3 @@
+from benerf_tpu.parallel import mesh
+
+__all__ = ["mesh"]

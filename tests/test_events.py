@@ -1,0 +1,66 @@
+"""Event accumulation / windowing tests (device scatter vs numpy oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benerf_tpu.data import events as ev
+
+
+def _random_events(n=5000, H=32, W=48, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(0, W, n),
+        rng.integers(0, H, n),
+        rng.random(n),
+        rng.choice([-1.0, 1.0], n),
+        H,
+        W,
+    )
+
+
+def test_accumulate_all_matches_numpy():
+    x, y, ts, pol, H, W = _random_events()
+    arrs = ev.prepare(x, y, ts, pol, W)
+    eta = np.asarray(ev.accumulate_all(arrs, H * W)).reshape(H, W)
+    oracle = ev.accumulate_events_numpy(x, y, pol, H, W)
+    assert np.allclose(eta, oracle)
+
+
+def test_time_window_matches_numpy():
+    x, y, ts, pol, H, W = _random_events(seed=1)
+    arrs = ev.prepare(x, y, ts, pol, W)
+    lo, hi = 0.3, 0.4
+    eta = np.asarray(ev.eta_time_window(arrs, H * W, lo, hi)).reshape(H, W)
+    keep = (ts >= lo) & (ts <= hi)  # inclusive ends, model/nerf.py:170-172
+    oracle = ev.accumulate_events_numpy(x[keep], y[keep], pol[keep], H, W)
+    assert np.allclose(eta, oracle)
+
+
+def test_sample_time_window_bounds():
+    for i in range(5):
+        lo, hi = ev.sample_time_window(jax.random.PRNGKey(i), 0.1, True)
+        assert 0.0 <= float(lo) <= 0.9
+        assert np.isclose(float(hi) - float(lo), 0.1, atol=1e-6)
+    lo, hi = ev.sample_time_window(jax.random.PRNGKey(0), 0.25, False)
+    assert float(lo) in (0.0, 0.25, 0.5)  # slot-aligned placement
+
+
+def test_count_window():
+    x, y, ts, pol, H, W = _random_events(seed=2)
+    arrs = ev.prepare(x, y, ts, pol, W)
+    eta, t0, t1 = ev.eta_count_window(arrs, H * W, jax.random.PRNGKey(0), 0.2)
+    n_window = round(arrs.num * 0.2)
+    assert float(np.abs(np.asarray(eta)).sum()) <= n_window
+    assert float(t0) <= float(t1)
+    # window mass equals its event count in absolute-sum terms only if no
+    # cancellation; check total signed sum instead via slice oracle
+    ts_sorted = np.sort(ts)
+    assert float(t1) - float(t0) <= 1.0
+
+
+def test_prepare_sorts_by_time():
+    x, y, ts, pol, H, W = _random_events(seed=3)
+    arrs = ev.prepare(x, y, ts, pol, W)
+    tsa = np.asarray(arrs.ts)
+    assert np.all(np.diff(tsa) >= 0)

@@ -1,0 +1,202 @@
+"""Integration tests: synthetic scene end-to-end training, checkpoint
+round-trip, optimizer gating, config parsing."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from benerf_tpu.core.config import Config, load_config, parse_config_text
+from benerf_tpu.data import datasets, synthetic
+from benerf_tpu.train import checkpoint as ckpt_mod
+from benerf_tpu.train import optim as optim_mod
+from benerf_tpu.train import step as step_mod
+
+
+def tiny_cfg(datadir, **overrides):
+    kw = dict(
+        dataset="BeNeRF_Blender", datadir=datadir, index=0, channels=3,
+        event_width=40, event_height=40,
+        rgb_fx=50.0, rgb_fy=50.0, rgb_cx=20.0, rgb_cy=20.0,
+        event_fx=50.0, event_fy=50.0, event_cx=20.0, event_cy=20.0,
+        N_samples=8, N_importance=8,
+        sampling_event_rays=64, sampling_rgb_rays=60, num_interpolated_pose=5,
+        use_viewdirs=True, event_time_window=True, random_sampling_window=True,
+        event_loss=True, rgb_loss=True, event_threshold=0.1,
+        event_coeff_syn=0.1,
+        optimize_nerf=True, optimize_pose=True, use_pallas=False,
+        max_iter=100, event_shift_start=0, event_shift_end=0,
+        lrate=5e-4, pose_lrate=5e-4,
+    )
+    kw.update(overrides)
+    return Config(**kw)
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scene")
+    synthetic.write_benerf_blender_scene(
+        str(d), H=40, W=40, focal=50.0, n_virtual=7, n_images=1
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def loaded(scene_dir):
+    cfg = tiny_cfg(scene_dir)
+    scene = datasets.load_scene(scene_dir, cfg)
+    return cfg, scene
+
+
+def _batch(cfg, scene):
+    from benerf_tpu.train.loop import intrinsics, make_batch
+
+    K_rgb, K_evt, *_ = intrinsics(cfg)
+    return make_batch(scene, cfg, K_rgb, K_evt)
+
+
+def test_loader_shapes(loaded):
+    cfg, scene = loaded
+    assert scene.image.shape == (1, 40, 40, 3)
+    assert scene.imgtest.shape == (1, 40, 40, 3)
+    assert scene.events.num > 100
+    assert np.all(np.diff(np.asarray(scene.events.ts)) >= 0)
+    assert 0.0 <= float(scene.rgb_exp_ts[0]) < float(scene.rgb_exp_ts[1]) <= 1.0
+
+
+def test_training_decreases_loss(loaded):
+    cfg, scene = loaded
+    batch = _batch(cfg, scene)
+    H, W = scene.image.shape[1:3]
+    state = step_mod.init_state(cfg, jax.random.PRNGKey(0))
+    fn = step_mod.make_train_step(cfg, H, W)
+    key = jax.random.PRNGKey(1)
+    state, m0 = fn(state, batch, key)
+    first = float(m0["loss"])
+    for _ in range(40):
+        state, m = fn(state, batch, key)
+    assert float(m["loss"]) < 0.5 * first
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_pose_knots_receive_updates(loaded):
+    cfg, scene = loaded
+    batch = _batch(cfg, scene)
+    H, W = scene.image.shape[1:3]
+    state = step_mod.init_state(cfg, jax.random.PRNGKey(0))
+    knots0 = np.asarray(state.params["knots"]).copy()
+    fn = step_mod.make_train_step(cfg, H, W)
+    state, _ = fn(state, batch, jax.random.PRNGKey(1))
+    assert not np.allclose(knots0, np.asarray(state.params["knots"]))
+    # disabled groups must NOT move (transform/crf are off by default)
+    assert np.allclose(np.asarray(state.params["transform"]), 0.0)
+
+
+def test_optimizer_gating(loaded):
+    cfg, scene = loaded
+    cfg2 = tiny_cfg(cfg.datadir, optimize_pose=False)
+    batch = _batch(cfg2, scene)
+    H, W = scene.image.shape[1:3]
+    state = step_mod.init_state(cfg2, jax.random.PRNGKey(0))
+    knots0 = np.asarray(state.params["knots"]).copy()
+    fn = step_mod.make_train_step(cfg2, H, W)
+    state, _ = fn(state, batch, jax.random.PRNGKey(1))
+    assert np.allclose(knots0, np.asarray(state.params["knots"]))
+
+
+def test_checkpoint_roundtrip(loaded, tmp_path):
+    cfg, scene = loaded
+    batch = _batch(cfg, scene)
+    H, W = scene.image.shape[1:3]
+    state = step_mod.init_state(cfg, jax.random.PRNGKey(0))
+    fn = step_mod.make_train_step(cfg, H, W)
+    for _ in range(3):
+        state, _ = fn(state, batch, jax.random.PRNGKey(1))
+
+    path = ckpt_mod.save(str(tmp_path), state)
+    assert os.path.exists(path)
+    template = step_mod.init_state(cfg, jax.random.PRNGKey(7))
+    restored = ckpt_mod.restore(str(tmp_path), template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+    # resumed training continues identically
+    s1, m1 = fn(state, batch, jax.random.PRNGKey(2))
+    s2, m2 = fn(restored, batch, jax.random.PRNGKey(2))
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_count_window_mode_trains(loaded):
+    cfg, scene = loaded
+    cfg2 = tiny_cfg(cfg.datadir, event_time_window=False,
+                    accumulate_time_length=0.2)
+    batch = _batch(cfg2, scene)
+    H, W = scene.image.shape[1:3]
+    state = step_mod.init_state(cfg2, jax.random.PRNGKey(0))
+    fn = step_mod.make_train_step(cfg2, H, W)
+    state, m = fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_linear_traj_mode_trains(loaded):
+    cfg, scene = loaded
+    cfg2 = tiny_cfg(cfg.datadir, traj="linear")
+    batch = _batch(cfg2, scene)
+    H, W = scene.image.shape[1:3]
+    state = step_mod.init_state(cfg2, jax.random.PRNGKey(0))
+    fn = step_mod.make_train_step(cfg2, H, W)
+    state, m = fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_crf_optimization_path(loaded):
+    cfg, scene = loaded
+    cfg2 = tiny_cfg(cfg.datadir, optimize_event_crf=True, optimize_rgb_crf=True,
+                    channels=3)
+    batch = _batch(cfg2, scene)
+    H, W = scene.image.shape[1:3]
+    state = step_mod.init_state(cfg2, jax.random.PRNGKey(0))
+    crf0 = np.asarray(state.params["event_crf"]["layers"][0]["w"]).copy()
+    fn = step_mod.make_train_step(cfg2, H, W)
+    state, m = fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert not np.allclose(crf0,
+                           np.asarray(state.params["event_crf"]["layers"][0]["w"]))
+
+
+def test_reference_config_parses():
+    ref = "/root/reference/configs/benerf_blender/tanabata.txt"
+    if not os.path.exists(ref):
+        pytest.skip("reference configs unavailable")
+    cfg = load_config(ref)
+    assert cfg.dataset == "BeNeRF_Blender"
+    assert cfg.N_samples == 64 and cfg.N_importance == 64
+    assert cfg.sampling_event_rays == 1024
+    assert cfg.event_threshold == 0.1
+    assert cfg.num_interpolated_pose == 19
+    assert cfg.optimize_nerf and cfg.optimize_pose and not cfg.optimize_trans
+    assert cfg.rgb_dist == [0.0, 0.0, 0.0, 0.0]
+    assert cfg.max_iter == 80000
+    assert cfg.traj == "spline"
+
+
+def test_config_text_parsing_types():
+    text = """
+    ## comment
+    channels = 1
+    lrate = 5e-4
+    optimize_nerf = True
+    rgb_dist = [0, 0, 0, 0]
+    dataset = E2NeRF_Real
+    unknown_key = whatever
+    """
+    vals = parse_config_text(text)
+    assert vals["channels"] == 1
+    assert vals["lrate"] == 5e-4
+    assert vals["optimize_nerf"] is True
+    assert vals["rgb_dist"] == [0.0, 0.0, 0.0, 0.0]
+    assert vals["dataset"] == "E2NeRF_Real"
+    assert "unknown_key" not in vals
