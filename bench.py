@@ -19,7 +19,14 @@ BASELINE_RAYS_PER_SEC = 220_000.0
 
 
 def main():
+    import os
+
     import jax
+
+    # first compile through the remote-compile tunnel is minutes; persist it
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from __graft_entry__ import _bench_config, _random_batch
     from benerf_tpu.train import step as step_mod

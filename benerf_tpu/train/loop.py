@@ -163,9 +163,24 @@ def train(cfg, scene: datasets.SceneData = None):
     if mesh is not None:
         state = mesh_mod.replicate_tree(state, mesh)
 
-    step_fn = step_mod.make_train_step(cfg, H, W, mesh=mesh, tx=tx)
     settings_eval = renderer_mod.RenderSettings.from_config(cfg)
     root_key = rng_mod.root_key(cfg.seed)
+
+    # device-side multi-step: scan `g` iterations per dispatch, where g is the
+    # largest chunk that respects every periodic-event boundary.
+    import math
+
+    g = math.gcd(
+        math.gcd(cfg.console_log_iter, cfg.render_image_iter),
+        math.gcd(cfg.render_video_iter, cfg.save_model_iter),
+    )
+    g = max(1, min(g, cfg.max_iter))
+    step_fn = step_mod.make_train_step(cfg, H, W, mesh=mesh, tx=tx)
+    multi_fn = (
+        step_mod.make_multi_step(cfg, H, W, g, mesh=mesh, tx=tx)
+        if g > 1
+        else None
+    )
 
     rays_per_iter = (
         2 * cfg.sampling_event_rays
@@ -177,17 +192,23 @@ def train(cfg, scene: datasets.SceneData = None):
     t_last = time.time()
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
-        for i in range(start, cfg.max_iter + 1):
-            state, metrics = step_fn(state, batch, root_key)
+        i = start
+        while i < cfg.max_iter:
+            n = min(g, cfg.max_iter - i)
+            if n == g and multi_fn is not None:
+                state, metrics = multi_fn(state, batch, root_key)
+            else:
+                n = 1
+                state, metrics = step_fn(state, batch, root_key)
+            i += n
 
             for k, v in metrics.items():
                 logger.write("train_" + k, v)
 
-            if i % cfg.console_log_iter == 0:
+            if i % cfg.console_log_iter == 0 or i == cfg.max_iter:
                 jax.block_until_ready(metrics["loss"])
                 dt = time.time() - t_last
-                iters = cfg.console_log_iter if i > start else 1
-                rays_s = rays_per_iter * iters / max(dt, 1e-9)
+                rays_s = rays_per_iter * n / max(dt, 1e-9)
                 logger.write("rays_per_sec", rays_s)
                 print(
                     f"[TRAIN] iter {i} loss {float(metrics['loss']):.5f} "

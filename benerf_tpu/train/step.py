@@ -104,6 +104,41 @@ def make_train_step(cfg, H: int, W: int, mesh=None, tx=None):
 
     Returns step_fn(state, batch, root_key) -> (state, metrics).
     """
+    body = _make_step_body(cfg, H, W, mesh=mesh, tx=tx)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, batch: SceneBatch, root_key):
+        return body(state, batch, root_key)
+
+    return step_fn
+
+
+def make_multi_step(cfg, H: int, W: int, n_inner: int, mesh=None, tx=None):
+    """n_inner full train steps per dispatch via lax.scan (device-side loop).
+
+    The whole iteration is device-resident, so scanning amortizes host->device
+    dispatch latency (significant when the chip sits behind an RPC tunnel)
+    and lets XLA overlap step boundaries. Returns the final state plus the
+    LAST step's metrics (matching what the reference would print).
+    """
+    body = _make_step_body(cfg, H, W, mesh=mesh, tx=tx)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_fn(state: TrainState, batch: SceneBatch, root_key):
+        def scan_body(carry, _):
+            new_state, metrics = body(carry, batch, root_key)
+            return new_state, metrics
+
+        state2, metrics_stack = jax.lax.scan(
+            scan_body, state, xs=None, length=n_inner
+        )
+        last = jax.tree.map(lambda m: m[-1], metrics_stack)
+        return state2, last
+
+    return multi_fn
+
+
+def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
     settings = renderer_mod.RenderSettings.from_config(cfg)
     tx = tx or optim_mod.build_optimizer(cfg)
 
@@ -219,8 +254,7 @@ def make_train_step(cfg, H: int, W: int, mesh=None, tx=None):
         metrics["loss"] = total
         return total, metrics
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step_fn(state: TrainState, batch: SceneBatch, root_key):
+    def body(state: TrainState, batch: SceneBatch, root_key):
         keys = rng_mod.step_keys(root_key, state.step)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, keys, state.step
@@ -229,4 +263,4 @@ def make_train_step(cfg, H: int, W: int, mesh=None, tx=None):
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return step_fn
+    return body
