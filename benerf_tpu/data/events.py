@@ -53,6 +53,18 @@ def prepare(x, y, ts, pol, width: int) -> EventArrays:
     )
 
 
+def prepare_raw(x, y, t_raw, pol, width: int, t_lo: float, t_hi: float) -> EventArrays:
+    """One-pass ingest of a RAW stream: crop to [t_lo, t_hi], normalize time
+    to [0,1] over that range, flatten, time-sort — through the C++ engine
+    (csrc/events.cpp) when built, numpy otherwise."""
+    from benerf_tpu.data import _native
+
+    pix, ts, pp = _native.prepare_events(x, y, t_raw, pol, width, t_lo, t_hi)
+    return EventArrays(
+        pix_idx=jnp.asarray(pix), ts=jnp.asarray(ts), pol=jnp.asarray(pp)
+    )
+
+
 def accumulate_all(events: EventArrays, hw: int):
     """Scatter-add every event's polarity into a flat (H*W,) map.
 

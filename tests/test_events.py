@@ -64,3 +64,43 @@ def test_prepare_sorts_by_time():
     arrs = ev.prepare(x, y, ts, pol, W)
     tsa = np.asarray(arrs.ts)
     assert np.all(np.diff(tsa) >= 0)
+
+
+def test_native_engine_parity():
+    """C++ engine (when built) matches the numpy fallbacks bit-for-bit."""
+    from benerf_tpu.data import _native
+
+    rng = np.random.default_rng(7)
+    n, H, W = 20000, 48, 64
+    x = rng.integers(0, W, n)
+    y = rng.integers(0, H, n)
+    pol = rng.choice([-1.0, 1.0], n)
+    t = rng.random(n) * 500.0
+
+    out = _native.accumulate_events(x, y, pol, H, W)
+    oracle = ev.accumulate_events_numpy(x, y, pol, H, W)
+    assert np.allclose(out, oracle)
+
+    pix, tsn, pp = _native.prepare_events(x, y, t, pol, W, 50.0, 450.0)
+    keep = (t >= 50.0) & (t <= 450.0)
+    assert len(pix) == keep.sum()
+    assert np.all(np.diff(tsn) >= 0)
+    assert tsn.min() >= 0.0 and tsn.max() <= 1.0
+
+
+def test_prepare_raw_matches_prepare():
+    rng = np.random.default_rng(8)
+    n, H, W = 5000, 32, 40
+    x = rng.integers(0, W, n)
+    y = rng.integers(0, H, n)
+    pol = rng.choice([-1.0, 1.0], n)
+    t = rng.random(n) * 100.0
+
+    a = ev.prepare_raw(x, y, t, pol, W, 0.0, 100.0)
+    ts_norm = t / 100.0
+    b = ev.prepare(x, y, ts_norm, pol, W)
+    assert np.allclose(np.asarray(a.ts), np.asarray(b.ts), atol=1e-6)
+    # same multiset of (pix, pol) — order may differ among equal timestamps
+    assert np.allclose(
+        np.sort(np.asarray(a.pix_idx)), np.sort(np.asarray(b.pix_idx))
+    )
