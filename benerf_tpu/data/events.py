@@ -126,6 +126,74 @@ def eta_count_window(events: EventArrays, hw: int, key, frac: float,
     return eta, ts[0], ts[n_window - 1]
 
 
+class EventSlicer:
+    """Time-window access into a TUM-VIE-format event h5 file.
+
+    File layout: groups events/{p,x,y,t} plus an ms_to_idx array mapping
+    milliseconds to event indices such that t[ms_to_idx[ms]] >= ms*1000 and
+    t[ms_to_idx[ms]-1] < ms*1000, with optional t_offset
+    (utils/event_utils.py:11-102). The reference refines the conservative
+    ms-window with a numba binary scan (event_utils.py:104-162); we use
+    searchsorted over the in-window slice (the C++ engine's time_window does
+    the same for float arrays).
+    """
+
+    def __init__(self, h5f):
+        self.h5f = h5f
+        self.events = {k: h5f[f"events/{k}"] for k in ("p", "x", "y", "t")}
+        self.ms_to_idx = np.asarray(h5f["ms_to_idx"], dtype="int64")
+        self.t_offset = int(h5f["t_offset"][()]) if "t_offset" in h5f else 0
+        self.t_final = int(self.events["t"][-1]) + self.t_offset
+
+    def get_start_time_us(self) -> int:
+        return self.t_offset
+
+    def get_final_time_us(self) -> int:
+        return self.t_final
+
+    def ms2idx(self, t_ms: int):
+        if t_ms < 0 or t_ms >= len(self.ms_to_idx):
+            return None
+        return int(self.ms_to_idx[t_ms])
+
+    def get_events(self, t_start_us: int, t_end_us: int):
+        """{p,x,y,t} arrays with t_start_us <= t < t_end_us, or None when
+        the window leaves the recording."""
+        assert t_start_us < t_end_us
+        t_start_us -= self.t_offset
+        t_end_us -= self.t_offset
+
+        import math
+
+        lo_ms = math.floor(t_start_us / 1000)
+        hi_ms = math.ceil(t_end_us / 1000)
+        lo_idx = self.ms2idx(lo_ms)
+        hi_idx = self.ms2idx(hi_ms)
+        if lo_idx is None or hi_idx is None:
+            return None
+
+        t_cons = np.asarray(self.events["t"][lo_idx:hi_idx])
+        a = int(np.searchsorted(t_cons, t_start_us, side="left"))
+        b = int(np.searchsorted(t_cons, t_end_us, side="left"))
+        out = {"t": t_cons[a:b] + self.t_offset}
+        for k in ("p", "x", "y"):
+            out[k] = np.asarray(self.events[k][lo_idx + a : lo_idx + b])
+        return out
+
+
+def polarity_image(x, y, pol, height: int, width: int) -> np.ndarray:
+    """(H, W, 3) uint8 visualization: positive events red, negative blue, on
+    white — mirrors event_data_visualization (event_utils.py:228-244)."""
+    img = np.full((height, width, 3), 255, np.uint8)
+    x = np.asarray(x, np.int64)
+    y = np.asarray(y, np.int64)
+    pol = np.asarray(pol)
+    pos = pol > 0
+    img[y[pos], x[pos]] = (255, 0, 0)
+    img[y[~pos], x[~pos]] = (0, 0, 255)
+    return img
+
+
 def accumulate_events_numpy(x, y, pol, height: int, width: int):
     """Host-side scatter-add oracle (tests + visualization).
 

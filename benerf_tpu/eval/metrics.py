@@ -94,13 +94,49 @@ def lpips(im1, im2, weights_path=None):
         return None
 
 
-def compute_img_metric(im1, im2, metric: str = "mse", **kw):
-    """Reference-compatible entry point (metrics.py:21)."""
-    if metric == "mse":
-        return mse(im1, im2)
-    if metric == "psnr":
-        return psnr(im1, im2)
+def _apply_margin(im, margin):
+    """Crop a fractional margin (metrics.py:67-71 semantics)."""
+    h, w = im.shape[:2]
+    mh = int(h * margin) + 1
+    mw = int(w * margin) + 1
+    return im[mh : h - mh, mw : w - mw]
+
+
+def compute_img_metric(im1, im2, metric: str = "mse", margin: float = 0,
+                       mask=None, **kw):
+    """Reference-compatible entry point (metrics.py:21-100) incl. the
+    optional fractional margin crop and pixel mask."""
+    im1 = np.asarray(im1, np.float64)
+    im2 = np.asarray(im2, np.float64)
+    if im1.ndim == 4:  # tolerate a leading batch dim of 1
+        im1, im2 = im1[0], im2[0]
+    if margin > 0:
+        im1 = _apply_margin(im1, margin)
+        im2 = _apply_margin(im2, margin)
+        if mask is not None:
+            mask = _apply_margin(np.asarray(mask), margin)
+
+    if metric in ("mse", "psnr"):
+        if mask is not None:
+            m = np.asarray(mask, bool)
+            if m.ndim == im1.ndim - 1:
+                m = m[..., None]
+            a = np.where(m, im1, 0.0)
+            b = np.where(m, im2, 0.0)
+            value = psnr(a, b) if metric == "psnr" else mse(a, b)
+            if metric == "psnr":
+                # reference's pixel-count correction (metrics.py:82-85)
+                h, w = im1.shape[:2]
+                value -= 10 * np.log10(h * w / max(m[..., 0].sum(), 1))
+            return value
+        return psnr(im1, im2) if metric == "psnr" else mse(im1, im2)
     if metric == "ssim":
+        if mask is not None:
+            mean, smap = ssim(im1, im2, full=True)
+            m = np.asarray(mask, float)
+            if m.ndim == smap.ndim - 1:
+                m = m[..., None]
+            return float((smap * m).sum() / (m.sum() * smap.shape[-1]))
         return ssim(im1, im2)
     if metric == "lpips":
         return lpips(im1, im2, **kw)

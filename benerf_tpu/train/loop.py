@@ -103,6 +103,7 @@ def periodic_eval(params, cfg, scene, settings_eval, K_render, H_r, W_r,
         frames_mod.render_trajectory(
             params, poses, K_render, H_r, W_r, settings_eval, chunk=cfg.chunk,
             key=jax.random.PRNGKey(cfg.seed + step),
+            deterministic=not cfg.sigma_noise_eval,
         )
     ):
         io_mod.save_image(

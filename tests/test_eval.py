@@ -1,0 +1,164 @@
+"""Tests for eval metrics, pose metrics, BRISQUE features, bezier, and
+auxiliary data utilities (EventSlicer, spiral paths, visualization)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_psnr_equals_standard_01_domain():
+    from benerf_tpu.eval import metrics
+
+    rng = np.random.default_rng(0)
+    a = rng.random((32, 32, 3))
+    b = np.clip(a + rng.normal(scale=0.05, size=a.shape), 0, 1)
+    p = metrics.psnr(a, b)
+    m = np.mean((a - b) ** 2)
+    assert np.isclose(p, 10 * np.log10(1.0 / m), atol=0.2)
+    assert metrics.psnr(a, a) == float("inf")
+
+
+def test_ssim_properties():
+    from benerf_tpu.eval import metrics
+
+    rng = np.random.default_rng(1)
+    a = rng.random((48, 48, 3))
+    assert metrics.ssim(a, a) > 0.9999
+    noisy = np.clip(a + rng.normal(scale=0.2, size=a.shape), 0, 1)
+    s = metrics.ssim(a, noisy)
+    assert 0.0 < s < 0.95
+
+
+def test_compute_img_metric_margin_and_mask():
+    from benerf_tpu.eval import metrics
+
+    rng = np.random.default_rng(2)
+    a = rng.random((40, 40, 3))
+    b = a.copy()
+    b[:2] = 0  # corrupt the border only
+    full = metrics.compute_img_metric(a, b, "psnr")
+    cropped = metrics.compute_img_metric(a, b, "psnr", margin=0.1)
+    assert cropped > full  # corruption removed by margin
+
+    mask = np.ones((40, 40), bool)
+    mask[:2] = False
+    masked = metrics.compute_img_metric(a, b, "psnr", mask=mask)
+    assert masked > full
+
+
+def test_pose_metrics_identity_and_offset():
+    from benerf_tpu.eval import pose_metrics
+    from benerf_tpu.geometry import spline
+
+    knots = jnp.asarray(np.random.default_rng(3).normal(scale=0.1, size=(4, 6)),
+                        jnp.float32)
+    gt = np.asarray(spline.cubic_bspline_pose(knots, jnp.linspace(0, 1, 19)))
+    assert pose_metrics.ate_rmse(gt, gt) < 1e-6
+    r = pose_metrics.rpe(gt, gt)
+    # rotation RMSE floor ~ sqrt(fp32 eps) degrees through arccos near 1
+    assert r["trans_rmse"] < 1e-6 and r["rot_rmse_deg"] < 0.05
+
+    # a global similarity transform must be aligned away
+    s, th = 2.0, 0.3
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    est = gt.copy()
+    est[:, :, 3] = (s * (R @ gt[:, :, 3].T)).T + np.array([1.0, -2.0, 0.5])
+    est[:, :, :3] = R @ gt[:, :, :3]
+    assert pose_metrics.ate_rmse(est, gt) < 1e-5
+
+
+def test_brisque_features_shape_and_sanity():
+    from benerf_tpu.eval import brisque
+
+    rng = np.random.default_rng(4)
+    img = rng.random((64, 64, 3))
+    f = brisque.features(img)
+    assert f.shape == (36,)
+    assert np.all(np.isfinite(f))
+    assert brisque.score(img) is None  # no model in zero-egress env
+
+
+def test_bezier_endpoints_and_grads():
+    import jax
+
+    from benerf_tpu.geometry import bezier, se3
+
+    rng = np.random.default_rng(5)
+    knots = jnp.asarray(rng.normal(scale=0.2, size=(4, 6)), jnp.float32)
+    poses = bezier.cubic_bezier_pose(knots, jnp.asarray([0.0, 1.0]))
+    q0, t0 = se3.se3_to_qt(knots[0])
+    q3, t3 = se3.se3_to_qt(knots[3])
+    assert np.allclose(poses[0, :, 3], t0, atol=1e-4)
+    assert np.allclose(poses[1, :, 3], t3, atol=1e-4)
+    assert np.allclose(poses[0, :, :3], se3.q_to_R(q0), atol=1e-4)
+
+    g = jax.grad(
+        lambda k: jnp.sum(bezier.cubic_bezier_pose(k, jnp.asarray([0.3])) ** 2)
+    )(knots)
+    assert np.all(np.isfinite(g))
+
+
+def test_event_slicer_h5(tmp_path):
+    import h5py
+
+    from benerf_tpu.data.events import EventSlicer
+
+    rng = np.random.default_rng(6)
+    n = 5000
+    t = np.sort(rng.integers(0, 10_000, n))  # microseconds
+    x = rng.integers(0, 64, n)
+    y = rng.integers(0, 48, n)
+    p = rng.integers(0, 2, n)
+    ms_to_idx = np.searchsorted(t, np.arange(11) * 1000, side="left")
+
+    path = tmp_path / "events.h5"
+    with h5py.File(path, "w") as f:
+        for k, v in (("t", t), ("x", x), ("y", y), ("p", p)):
+            f.create_dataset(f"events/{k}", data=v)
+        f.create_dataset("ms_to_idx", data=ms_to_idx)
+
+    with h5py.File(path) as f:
+        sl = EventSlicer(f)
+        ev = sl.get_events(2_000, 5_000)
+        keep = (t >= 2_000) & (t < 5_000)
+        assert len(ev["t"]) == keep.sum()
+        assert np.array_equal(ev["x"], x[keep])
+        assert sl.get_start_time_us() == 0
+        assert sl.get_events(-5_000_000, -4_000_000) is None
+
+
+def test_polarity_image():
+    from benerf_tpu.data.events import polarity_image
+
+    img = polarity_image([1, 2], [3, 3], [1.0, -1.0], 8, 8)
+    assert tuple(img[3, 1]) == (255, 0, 0)
+    assert tuple(img[3, 2]) == (0, 0, 255)
+    assert tuple(img[0, 0]) == (255, 255, 255)
+
+
+def test_spiral_and_spherify_paths():
+    from benerf_tpu.data import datasets
+
+    rng = np.random.default_rng(7)
+    # a ring of inward-looking poses with an hwf column
+    poses = []
+    for th in np.linspace(0, 2 * np.pi, 12, endpoint=False):
+        pos = np.array([2 * np.cos(th), 2 * np.sin(th), 0.3])
+        z = -pos / np.linalg.norm(pos)
+        up = np.array([0, 0, 1.0])
+        x_ = np.cross(up, z)
+        x_ /= np.linalg.norm(x_)
+        y_ = np.cross(z, x_)
+        poses.append(np.stack([x_, y_, z, pos, [40, 40, 50]], 1))
+    poses = np.stack(poses)
+    bds = np.array([1.0, 6.0])
+
+    rp = datasets.regenerate_pose(poses.copy(), bds.copy(), spherify=False)
+    assert rp.shape[0] == 120 and rp.shape[1:] == (3, 5)
+    assert np.all(np.isfinite(rp))
+
+    rp2 = datasets.regenerate_pose(poses.copy(), bds.copy(), spherify=True)
+    assert rp2.shape[0] == 120
+    assert np.all(np.isfinite(rp2))
