@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 import time
 from typing import Optional
 
@@ -41,11 +42,26 @@ def save_image(path: str, img, gray: bool = False):
 
 
 def save_video(path: str, frames, fps: int = 30):
+    """Write an mp4 (reference: imageio.mimsave, run_nerf_helpers.py:139).
+
+    Falls back to per-frame PNGs next to `path` when no mp4 backend
+    (ffmpeg/pyav) is installed, so trajectory export still succeeds in
+    hermetic environments."""
     import imageio
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imageio.mimsave(path, [to8bit(f).squeeze() for f in frames],
-                    fps=fps, quality=8)
+    imgs = [to8bit(f).squeeze() for f in frames]
+    try:
+        imageio.mimsave(path, imgs, fps=fps, quality=8)
+    except (ValueError, ImportError) as e:
+        frame_dir = os.path.splitext(path)[0] + "_frames"
+        os.makedirs(frame_dir, exist_ok=True)
+        for i, img in enumerate(imgs):
+            imageio.imwrite(os.path.join(frame_dir, f"{i:04d}.png"), img)
+        warnings.warn(
+            f"no video backend ({e}); wrote {len(imgs)} PNG frames to "
+            f"{frame_dir}"
+        )
 
 
 class JsonlLogger:

@@ -33,6 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from benerf_tpu.models import embedder
 
 TILE = 512         # points per grid step; S must divide TILE
+BWD_TILE = 256     # backward rematerializes 8 activations per tile; 512
+                   # overflows the 16MB VMEM budget by ~2KB on v5e
 INTERPRET = False  # set True (tests) to run kernels in interpreter mode
 IN_PAD = 64        # 63-channel PE padded to 64 lanes
 HEAD = 128         # head-space lanes
@@ -104,8 +106,13 @@ def _trunk_forward(pe, vb_exp, w0, wh, w5pe, b, wa, wf, bf, wfv, wrgb, hb,
                    dtype, keep_acts: bool):
     """Shared fwd math on one tile. Returns (combined_headspace, acts|None)."""
 
-    precision = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
-                 else jax.lax.Precision.HIGHEST)
+    # DEFAULT matches the pure-jnp fallback (precision=None): one bf16 MXU
+    # pass with f32 accumulation. "float32_highest" opts into the exact
+    # 6-pass f32 algorithm for debugging at ~6x matmul cost.
+    precision = (jax.lax.Precision.HIGHEST if dtype == "float32_highest"
+                 else jax.lax.Precision.DEFAULT)
+    if dtype == "float32_highest":
+        dtype = jnp.float32
 
     def mm(a, w):
         return jnp.dot(a.astype(dtype), w.astype(dtype),
@@ -133,13 +140,11 @@ def _trunk_forward(pe, vb_exp, w0, wh, w5pe, b, wa, wf, bf, wfv, wrgb, hb,
 
 def _fwd_kernel(S, C, dtype, pe_ref, vb_ref, w0_ref, wh_ref, w5pe_ref, b_ref,
                 wa_ref, wf_ref, bf_ref, wfv_ref, wrgb_ref, hb_ref, out_ref):
-    rt = pe_ref.shape[0] // S
-    vb = vb_ref[:]
-    vb_exp = jnp.broadcast_to(vb[:, None, :], (rt, S, HEAD)).reshape(
-        pe_ref.shape[0], HEAD
-    )
+    # vb arrives pre-expanded per point (Mosaic requires >=8 sublanes per
+    # block; a per-ray (TILE//S, 128) block violates that when S > TILE//8,
+    # and the kernel is compute-bound so the extra read is free).
     av, f, hv, rv, col, _ = _trunk_forward(
-        pe_ref[:], vb_exp, w0_ref[:], wh_ref[:], w5pe_ref[:], b_ref[:],
+        pe_ref[:], vb_ref[:], w0_ref[:], wh_ref[:], w5pe_ref[:], b_ref[:],
         wa_ref[:], wf_ref[:], bf_ref[:], wfv_ref[:], wrgb_ref[:], hb_ref[:],
         dtype, keep_acts=False,
     )
@@ -157,7 +162,6 @@ def _bwd_kernel(S, C, dtype, pe_ref, vb_ref, w0_ref, wh_ref, w5pe_ref, b_ref,
                 dpe_ref, dvb_ref, dw0_ref, dwh_ref, dw5pe_ref, db_ref,
                 dwa_ref, dwf_ref, dbf_ref, dwfv_ref, dwrgb_ref, dhb_ref):
     T = pe_ref.shape[0]
-    rt = T // S
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -172,8 +176,13 @@ def _bwd_kernel(S, C, dtype, pe_ref, vb_ref, w0_ref, wh_ref, w5pe_ref, b_ref,
         dwrgb_ref[:] = jnp.zeros_like(dwrgb_ref)
         dhb_ref[:] = jnp.zeros_like(dhb_ref)
 
-    precision = (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
-                 else jax.lax.Precision.HIGHEST)
+    # DEFAULT matches the pure-jnp fallback (precision=None): one bf16 MXU
+    # pass with f32 accumulation. "float32_highest" opts into the exact
+    # 6-pass f32 algorithm for debugging at ~6x matmul cost.
+    precision = (jax.lax.Precision.HIGHEST if dtype == "float32_highest"
+                 else jax.lax.Precision.DEFAULT)
+    if dtype == "float32_highest":
+        dtype = jnp.float32
 
     def mm_nt(a, w):  # a @ w.T
         return jax.lax.dot_general(
@@ -192,11 +201,9 @@ def _bwd_kernel(S, C, dtype, pe_ref, vb_ref, w0_ref, wh_ref, w5pe_ref, b_ref,
         )
 
     pe = pe_ref[:]
-    vb = vb_ref[:]
-    vb_exp = jnp.broadcast_to(vb[:, None, :], (rt, S, HEAD)).reshape(T, HEAD)
 
     av, f, hv, rv, col, acts = _trunk_forward(
-        pe, vb_exp, w0_ref[:], wh_ref[:], w5pe_ref[:], b_ref[:], wa_ref[:],
+        pe, vb_ref[:], w0_ref[:], wh_ref[:], w5pe_ref[:], b_ref[:], wa_ref[:],
         wf_ref[:], bf_ref[:], wfv_ref[:], wrgb_ref[:], hb_ref[:], dtype,
         keep_acts=True,
     )
@@ -215,7 +222,8 @@ def _bwd_kernel(S, C, dtype, pe_ref, vb_ref, w0_ref, wh_ref, w5pe_ref, b_ref,
     dwrgb_ref[:] += mm_tn(hv, g_rgb)
     # views layer
     dhv_pre = dhv * (hv > 0)
-    dvb_ref[:] = dhv_pre.reshape(rt, S, HEAD).sum(axis=1)
+    dvb_ref[:] = dhv_pre  # per-point; per-ray sum happens via the outer
+    # broadcast's autodiff in fused_nerf_mlp
     df = mm_nt(dhv_pre, wfv_ref[:])
     dwfv_ref[:] += mm_tn(f, dhv_pre)
     # feature + alpha heads
@@ -256,7 +264,6 @@ def _const_spec(shape):
 def _fwd_call(pe, vb, packed, S: int, C: int, dtype):
     n = pe.shape[0]
     grid = n // TILE
-    rt = TILE // S
     w_specs = [_const_spec(w.shape) for w in packed]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, S, C, dtype),
@@ -264,7 +271,7 @@ def _fwd_call(pe, vb, packed, S: int, C: int, dtype):
         in_specs=[
             pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, HEAD), lambda i: (i, 0),
+            pl.BlockSpec((TILE, HEAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
@@ -286,29 +293,28 @@ def _fwd_call(pe, vb, packed, S: int, C: int, dtype):
 
 def _bwd_call(pe, vb, packed, g, S: int, C: int, dtype):
     n = pe.shape[0]
-    grid = n // TILE
-    rt = TILE // S
+    grid = n // BWD_TILE
     w_specs = [_const_spec(w.shape) for w in packed]
     out_shapes = (
         jax.ShapeDtypeStruct(pe.shape, jnp.float32),    # dpe
-        jax.ShapeDtypeStruct(vb.shape, jnp.float32),    # dvb
+        jax.ShapeDtypeStruct(vb.shape, jnp.float32),    # dvb (per point)
         *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed],
     )
     out_specs = (
-        pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((rt, HEAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BWD_TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BWD_TILE, HEAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
         *[_const_spec(w.shape) for w in packed],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, S, C, dtype),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+            pl.BlockSpec((BWD_TILE, IN_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, HEAD), lambda i: (i, 0),
+            pl.BlockSpec((BWD_TILE, HEAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
-            pl.BlockSpec((TILE, C + 1), lambda i: (i, 0),
+            pl.BlockSpec((BWD_TILE, C + 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -322,7 +328,12 @@ def _bwd_call(pe, vb, packed, g, S: int, C: int, dtype):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _core(pe, vb, packed, S, C, dtype_name):
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    if dtype_name == "bfloat16":
+        dtype = jnp.bfloat16
+    elif dtype_name == "float32_highest":
+        dtype = "float32_highest"
+    else:
+        dtype = jnp.float32
     return _fwd_call(pe, vb, packed, S, C, dtype)
 
 
@@ -332,7 +343,12 @@ def _core_fwd(pe, vb, packed, S, C, dtype_name):
 
 def _core_bwd(S, C, dtype_name, res, g):
     pe, vb, packed = res
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    if dtype_name == "bfloat16":
+        dtype = jnp.bfloat16
+    elif dtype_name == "float32_highest":
+        dtype = "float32_highest"
+    else:
+        dtype = jnp.float32
     outs = _bwd_call(pe, vb, packed, g, S, C, dtype)
     dpe, dvb = outs[0], outs[1]
     dpacked = tuple(outs[2:])
@@ -350,9 +366,12 @@ def fused_nerf_mlp(params, pts, viewdirs, *, num_freqs=10, num_freqs_views=4,
     C = params["rgb"]["w"].shape[1]
     n = R * S
 
-    # per-ray view bias: vpe @ Wv + b (jnp — tiny, differentiable)
+    # per-ray view bias: vpe @ Wv + b (jnp — tiny, differentiable). Expanded
+    # to per-point before the kernel: Mosaic blocks need >=8 sublanes, and
+    # the broadcast's autodiff gives the per-ray dvb sum for free.
     vpe = embedder.positional_encoding(viewdirs, num_freqs_views)
     vb = vpe @ params["views"]["w_pe"] + params["views"]["b"]  # (R, HEAD)
+    vb = jnp.broadcast_to(vb[:, None, :], (R, S, HEAD)).reshape(n, HEAD)
 
     pe = embedder.positional_encoding(pts.reshape(n, 3), num_freqs)
     pe = jnp.pad(pe, ((0, 0), (0, IN_PAD - 63)))
@@ -360,7 +379,7 @@ def fused_nerf_mlp(params, pts, viewdirs, *, num_freqs=10, num_freqs_views=4,
     n_pad = (-n) % TILE
     if n_pad:
         pe = jnp.pad(pe, ((0, n_pad), (0, 0)))
-        vb = jnp.pad(vb, ((0, n_pad // S), (0, 0)))
+        vb = jnp.pad(vb, ((0, n_pad), (0, 0)))
 
     packed = pack_params(params)
     raw = _core(pe, vb, packed, S, C, compute_dtype)

@@ -206,7 +206,7 @@ def train(cfg, scene: datasets.SceneData = None):
             for k, v in metrics.items():
                 logger.write("train_" + k, v)
 
-            if i % cfg.console_log_iter == 0 or i == cfg.max_iter:
+            if (cfg.console_log_iter > 0 and i % cfg.console_log_iter == 0) or i == cfg.max_iter:
                 jax.block_until_ready(metrics["loss"])
                 dt = time.time() - t_last
                 rays_s = rays_per_iter * n / max(dt, 1e-9)
@@ -219,7 +219,7 @@ def train(cfg, scene: datasets.SceneData = None):
                 )
                 t_last = time.time()
 
-            if i % cfg.render_image_iter == 0 and i > 0:
+            if cfg.render_image_iter > 0 and i % cfg.render_image_iter == 0 and i > 0:
                 _, results = periodic_eval(
                     state.params, cfg, scene, settings_eval, K_render,
                     H_r, W_r, logdir, i, logger,
@@ -227,7 +227,7 @@ def train(cfg, scene: datasets.SceneData = None):
                 if results:
                     print(f"[EVAL] iter {i}: {results}")
 
-            if i % cfg.render_video_iter == 0 and i > 0:
+            if cfg.render_video_iter > 0 and i % cfg.render_video_iter == 0 and i > 0:
                 poses = rgb_pose_trajectory(state.params, cfg,
                                             scene.rgb_exp_ts, 90)
                 frames = [
@@ -242,7 +242,7 @@ def train(cfg, scene: datasets.SceneData = None):
                     frames,
                 )
 
-            if i % cfg.save_model_iter == 0 and i > 0:
+            if cfg.save_model_iter > 0 and i % cfg.save_model_iter == 0 and i > 0:
                 path = ckpt_mod.save(logdir, state)
                 print(f"[INFO] saved checkpoint {path}")
 
