@@ -31,9 +31,21 @@ def main():
     from __graft_entry__ import _bench_config, _random_batch
     from benerf_tpu.train import step as step_mod
 
+    import dataclasses
+
+    import numpy as np
+
+    from benerf_tpu.data import events as events_mod
+
     cfg = _bench_config()
     H, W = 400, 600
     batch = _random_batch(cfg, H, W, n_events=1_000_000)
+    cfg = dataclasses.replace(
+        cfg,
+        event_window_cap=events_mod.window_cap(
+            np.asarray(batch.events.ts), cfg.accumulate_time_length
+        ),
+    )
     state = step_mod.init_state(cfg, jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
 

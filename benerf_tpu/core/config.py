@@ -123,6 +123,10 @@ class Config:
     event_shift_start: float = 5.0
     event_shift_end: float = 5.0
     accumulate_time_length: float = 0.1
+    # static cap on events per time window for the sliced ETA scatter
+    # (0 = scatter the full stream; the train loop auto-computes a safe
+    # value from the loaded stream via data.events.window_cap)
+    event_window_cap: int = 0
     random_sampling_window: bool = False
     event_time_window: bool = False
 

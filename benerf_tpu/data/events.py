@@ -74,16 +74,60 @@ def accumulate_all(events: EventArrays, hw: int):
     return jax.ops.segment_sum(events.pol, events.pix_idx, num_segments=hw)
 
 
-def eta_time_window(events: EventArrays, hw: int, low_t, up_t):
+def eta_time_window(events: EventArrays, hw: int, low_t, up_t,
+                    cap: int = 0):
     """ETA map for the events with low_t <= ts <= up_t (inclusive ends,
-    model/nerf.py:170-172). Mask + one segment-sum; O(N) but bandwidth-tiny
-    compared to the MLP hot loop."""
-    mask = (events.ts >= low_t) & (events.ts <= up_t)
-    return jax.ops.segment_sum(
-        events.pol * mask.astype(events.pol.dtype),
-        events.pix_idx,
-        num_segments=hw,
+    model/nerf.py:170-172).
+
+    cap == 0: mask the full stream + one segment-sum (O(N); the scatter over
+    the whole stream was the single hottest op in the step profile).
+    cap > 0: exploit time-sortedness — searchsorted for the window start,
+    dynamic_slice a fixed `cap` events, mask, scatter only those. Exact as
+    long as no window holds more than `cap` events (see `window_cap`);
+    returns (eta, overflow) where overflow counts silently dropped events
+    (log it — nonzero means the cap was computed from the wrong stream).
+    """
+    if cap and cap < events.num:
+        lo = jnp.searchsorted(events.ts, low_t, side="left")
+        # dynamic_slice clamps lo to N-cap near the end; the ts >= low_t
+        # mask then drops the extra leading events it pulled in.
+        ts = jax.lax.dynamic_slice_in_dim(events.ts, lo, cap)
+        pix = jax.lax.dynamic_slice_in_dim(events.pix_idx, lo, cap)
+        pol = jax.lax.dynamic_slice_in_dim(events.pol, lo, cap)
+        mask = (ts >= low_t) & (ts <= up_t)
+        hi = jnp.searchsorted(events.ts, up_t, side="right")
+        overflow = jnp.maximum(hi - lo - cap, 0)
+    else:
+        ts, pix, pol = events.ts, events.pix_idx, events.pol
+        mask = (ts >= low_t) & (ts <= up_t)
+        overflow = jnp.asarray(0, jnp.int32)
+    eta = jax.ops.segment_sum(
+        pol * mask.astype(pol.dtype), pix, num_segments=hw
     )
+    return eta, overflow
+
+
+def window_cap(ts_sorted, window_len: float, *, grid: int = 4096,
+               safety: float = 1.10, round_to: int = 1024) -> int:
+    """Static upper bound on events inside ANY time window of `window_len`.
+
+    Host-side precompute for eta_time_window(cap=...). Windows start
+    anywhere in [0, 1-window_len]; we bound the max by over-covering each
+    grid cell by one grid spacing, then apply a safety factor and round up
+    (keeps the compiled slice shape stable across scenes of similar size).
+    """
+    ts = np.asarray(ts_sorted)
+    n = ts.shape[0]
+    if n == 0 or window_len >= 1.0:
+        return n
+    lows = np.linspace(0.0, 1.0 - window_len, grid)
+    delta = lows[1] - lows[0] if grid > 1 else 0.0
+    lo = np.searchsorted(ts, lows, side="left")
+    hi = np.searchsorted(ts, lows + window_len + delta, side="right")
+    m = int((hi - lo).max()) if n else 0
+    m = int(np.ceil(m * safety))
+    m = ((m + round_to - 1) // round_to) * round_to
+    return min(m, n)
 
 
 def sample_time_window(key, window_len: float, random_placement: bool = True):

@@ -46,10 +46,20 @@ def sample_pdf(bins, weights, n_samples: int, key=None, u=None):
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # Gather (cdf, bins) at below/above via one-hot matmuls: TPU gathers
+    # along the lane axis serialize (each take_along_axis fusion cost
+    # ~1.5ms/iter in the step profile); a batched (N,B)@(B,2) matmul rides
+    # the MXU. Precision.HIGHEST keeps the 0/1 contraction bit-exact.
+    iota = jnp.arange(cdf.shape[-1])
+    oh_below = (below[..., :, None] == iota).astype(cdf.dtype)
+    oh_above = (above[..., :, None] == iota).astype(cdf.dtype)
+    stacked = jnp.stack([cdf, bins], axis=-1)  # (..., B, 2)
+    g_below = jnp.matmul(oh_below, stacked,
+                         precision=jax.lax.Precision.HIGHEST)
+    g_above = jnp.matmul(oh_above, stacked,
+                         precision=jax.lax.Precision.HIGHEST)
+    cdf_below, bins_below = g_below[..., 0], g_below[..., 1]
+    cdf_above, bins_above = g_above[..., 0], g_above[..., 1]
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)

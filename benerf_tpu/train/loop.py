@@ -17,6 +17,7 @@ import numpy as np
 
 from benerf_tpu.core import rng as rng_mod
 from benerf_tpu.data import datasets, undistort
+from benerf_tpu.data import events as events_util
 from benerf_tpu.eval import frames as frames_mod
 from benerf_tpu.eval import io as io_mod
 from benerf_tpu.eval import metrics as metrics_mod
@@ -176,6 +177,14 @@ def train(cfg, scene: datasets.SceneData = None):
         math.gcd(cfg.render_video_iter, cfg.save_model_iter),
     )
     g = max(1, min(g, cfg.max_iter))
+    if cfg.event_time_window and cfg.event_window_cap == 0:
+        import dataclasses
+
+        cap = events_util.window_cap(
+            np.asarray(scene.events.ts), cfg.accumulate_time_length
+        )
+        cfg = dataclasses.replace(cfg, event_window_cap=cap)
+        print(f"[INFO] event window cap: {cap} of {scene.events.num} events")
     step_fn = step_mod.make_train_step(cfg, H, W, mesh=mesh, tx=tx)
     multi_fn = (
         step_mod.make_multi_step(cfg, H, W, g, mesh=mesh, tx=tx)

@@ -167,12 +167,16 @@ def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
                 keys["window"], cfg.accumulate_time_length,
                 cfg.random_sampling_window,
             )
-            eta = events_mod.eta_time_window(batch.events, hw_evt, low_t, up_t)
+            eta, eta_overflow = events_mod.eta_time_window(
+                batch.events, hw_evt, low_t, up_t,
+                cap=cfg.event_window_cap,
+            )
         else:
             eta, low_t, up_t = events_mod.eta_count_window(
                 batch.events, hw_evt, keys["window"],
                 cfg.accumulate_time_length, cfg.random_sampling_window,
             )
+            eta_overflow = jnp.asarray(0, jnp.int32)
 
         # 2. spline poses (model/optimize.py:58-111)
         knots = params["knots"]
@@ -251,6 +255,7 @@ def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
             metrics["rgb_loss"] = rgb_fine_l + rgb_coarse_l
             total = total + rgb_fine_l + rgb_coarse_l
 
+        metrics["eta_window_overflow"] = eta_overflow
         metrics["loss"] = total
         return total, metrics
 

@@ -31,10 +31,22 @@ def test_time_window_matches_numpy():
     x, y, ts, pol, H, W = _random_events(seed=1)
     arrs = ev.prepare(x, y, ts, pol, W)
     lo, hi = 0.3, 0.4
-    eta = np.asarray(ev.eta_time_window(arrs, H * W, lo, hi)).reshape(H, W)
+    eta, ov = ev.eta_time_window(arrs, H * W, lo, hi)
+    eta = np.asarray(eta).reshape(H, W)
     keep = (ts >= lo) & (ts <= hi)  # inclusive ends, model/nerf.py:170-172
     oracle = ev.accumulate_events_numpy(x[keep], y[keep], pol[keep], H, W)
     assert np.allclose(eta, oracle)
+    assert int(ov) == 0
+
+    # capped (sliced) path: identical ETA when the cap covers the window
+    cap = ev.window_cap(np.sort(ts), hi - lo)
+    eta_c, ov_c = ev.eta_time_window(arrs, H * W, lo, hi, cap=cap)
+    assert np.allclose(np.asarray(eta_c).reshape(H, W), oracle)
+    assert int(ov_c) == 0
+
+    # undersized cap reports overflow instead of failing silently
+    _, ov_small = ev.eta_time_window(arrs, H * W, lo, hi, cap=8)
+    assert int(ov_small) > 0
 
 
 def test_sample_time_window_bounds():
