@@ -38,6 +38,12 @@ class SceneData:
     ev_poses: Optional[np.ndarray] = None  # loaded event poses
     trans: Optional[np.ndarray] = None     # loaded rgb<->event se(3) (loadtrans)
     raw_events: Optional[dict] = None      # un-normalized {x,y,ts,pol} (debug)
+    gt_knots: Optional[np.ndarray] = None  # (4,6) GT spline knots (synthetic
+                                           # scenes only; enables in-train
+                                           # ATE/RPE pose-recovery metrics)
+    gt_exp_us: Optional[np.ndarray] = None # (2,) exposure interval in the GT
+                                           # spline's unit time (maps local
+                                           # normalized ts -> GT trajectory u)
 
 
 def _list_images(d: str):

@@ -91,6 +91,29 @@ class JsonlLogger:
     def write(self, key: str, value):
         self._buf[key] = float(value)
 
+    def write_record(self, step: int, scalars: dict):
+        """Write one complete per-iteration record immediately (bypasses the
+        buffer) — used for the stacked metrics of a multi-step dispatch so
+        every training iteration gets its own loss point."""
+        rec = {"step": int(step), **{k: float(v) for k, v in scalars.items()}}
+        if self._file:
+            self._file.write(json.dumps(rec) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(rec, step=step)
+
+    def write_img(self, key: str, img, step: int):
+        """Image channel (reference WandbLogger.write_img,
+        logger/wandb_logger.py:14-16). JSONL gets the path only; the image
+        itself goes to wandb when enabled."""
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log({key: wandb.Image(np.asarray(img))}, step=step)
+
+    def flush(self):
+        if self._file:
+            self._file.flush()
+
     def update_buffer(self, step: int):
         if not self._buf:
             return

@@ -101,7 +101,11 @@ def render_rays(
       rays_o, rays_d: (R, 3) world-space ray origins/directions.
       H, W, focal: for the NDC warp (of the camera these rays belong to).
       keys: dict with optional PRNG keys {"z", "pdf", "noise_c", "noise_f"};
-        None or missing entries select the deterministic variant.
+        None or missing entries select the deterministic variant. Explicit
+        recorded draws can be injected instead of keys via {"z_u": (R,S)
+        stratification uniforms, "pdf_u": (R,N_imp) inverse-CDF uniforms,
+        "noise_c_vals"/"noise_f_vals": (R,S) sigma-noise values} — used by the
+        golden gradient-parity tests against the torch reference.
     Returns dict of per-ray maps; rgb0/... are the coarse outputs
       (model/nerf.py:336-342).
     """
@@ -117,7 +121,8 @@ def render_rays(
         rays_o, rays_d = raysm.ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
 
     z_vals = volume.stratified_z(
-        keys.get("z"), n_rays, settings.n_samples, settings.near, settings.far
+        keys.get("z"), n_rays, settings.n_samples, settings.near, settings.far,
+        t_rand=keys.get("z_u"),
     )
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
@@ -140,6 +145,7 @@ def render_rays(
     coarse = volume.composite(
         raw, z_vals, rays_d, settings.channels,
         noise_std=settings.sigma_noise_std, key=keys.get("noise_c"),
+        noise=keys.get("noise_c_vals"),
     )
 
     out = {
@@ -152,7 +158,7 @@ def render_rays(
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         z_samples = pdfm.sample_pdf(
             z_mid, coarse["weights"][..., 1:-1], settings.n_importance,
-            key=keys.get("pdf"),
+            key=keys.get("pdf"), u=keys.get("pdf_u"),
         )
         z_samples = jax.lax.stop_gradient(z_samples)  # model/nerf.py:324
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
@@ -162,6 +168,7 @@ def render_rays(
         fine = volume.composite(
             raw_fine, z_all, rays_d, settings.channels,
             noise_std=settings.sigma_noise_std, key=keys.get("noise_f"),
+            noise=keys.get("noise_f_vals"),
         )
         out.update(
             rgb0=coarse["rgb_map"],

@@ -26,7 +26,8 @@ def exclusive_cumprod_one_minus(alpha, eps=1e-10):
     return jnp.concatenate([jnp.ones_like(t[..., :1]), t[..., :-1]], axis=-1)
 
 
-def composite(raw, z_vals, rays_d, channels: int, noise_std: float = 1.0, key=None):
+def composite(raw, z_vals, rays_d, channels: int, noise_std: float = 1.0, key=None,
+              noise=None):
     """Alpha compositing along each ray.
 
     Args:
@@ -35,6 +36,8 @@ def composite(raw, z_vals, rays_d, channels: int, noise_std: float = 1.0, key=No
       rays_d: (..., 3) ray directions (not normalized).
       noise_std: sigma regularization noise std; active only when key given.
       key: PRNG key for the sigma noise (None -> deterministic).
+      noise: explicit (..., S) sigma-noise values (overrides key; used by
+        golden-parity tests that inject recorded draws).
     Returns dict with rgb_map (...,C), disp_map, acc_map, weights, depth_map,
       sigma. Ref: model/nerf.py:118-148.
     """
@@ -46,7 +49,9 @@ def composite(raw, z_vals, rays_d, channels: int, noise_std: float = 1.0, key=No
 
     rgb = jax.nn.sigmoid(raw[..., :channels])
     sigma_raw = raw[..., channels]
-    if key is not None and noise_std > 0.0:
+    if noise is not None:
+        sigma_raw = sigma_raw + noise
+    elif key is not None and noise_std > 0.0:
         sigma_raw = sigma_raw + jax.random.normal(key, sigma_raw.shape) * noise_std
 
     sigma = jax.nn.relu(sigma_raw)
@@ -68,20 +73,22 @@ def composite(raw, z_vals, rays_d, channels: int, noise_std: float = 1.0, key=No
     }
 
 
-def stratified_z(key, n_rays, n_samples, near=0.0, far=1.0):
+def stratified_z(key, n_rays, n_samples, near=0.0, far=1.0, t_rand=None):
     """Stratified depth samples in [near, far], always perturbed.
 
     The reference perturbs unconditionally, ignoring args.perturb
     (model/nerf.py:297-307) — train *and* eval. Pass key=None for the
-    unperturbed midpoint-free linspace variant.
+    unperturbed midpoint-free linspace variant; pass explicit
+    t_rand (n_rays, n_samples) to inject recorded perturbation draws.
     """
     t = jnp.linspace(0.0, 1.0, n_samples)
     z = near * (1.0 - t) + far * t
     z = jnp.broadcast_to(z, (n_rays, n_samples))
-    if key is None:
+    if key is None and t_rand is None:
         return z
     mids = 0.5 * (z[..., 1:] + z[..., :-1])
     upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
     lower = jnp.concatenate([z[..., :1], mids], axis=-1)
-    t_rand = jax.random.uniform(key, z.shape)
+    if t_rand is None:
+        t_rand = jax.random.uniform(key, z.shape)
     return lower + (upper - lower) * t_rand

@@ -125,8 +125,31 @@ def periodic_eval(params, cfg, scene, settings_eval, K_render, H_r, W_r,
         lp = metrics_mod.lpips(mid, gt)
         if lp is not None:
             results["test_mid_lpips"] = lp
-        for k, v in results.items():
-            logger.write(k, v)
+        logger.write_img("test_mid_img", mid, step)
+    if getattr(scene, "gt_knots", None) is not None:
+        # joint-recovery pose accuracy vs the generator's ground-truth
+        # trajectory (only synthetic scenes carry gt_knots); the reference
+        # has no in-train pose metric — this closes the loop on the paper's
+        # actual deliverable, the recovered trajectory.
+        from benerf_tpu.eval import pose_metrics
+
+        gt_us = (
+            scene.gt_exp_us
+            if scene.gt_exp_us is not None
+            else scene.rgb_exp_ts
+        )
+        gt_poses = np.asarray(
+            spline_mod.interpolate_poses(
+                jnp.asarray(scene.gt_knots), float(gt_us[0]),
+                float(gt_us[1]), len(poses), cfg.traj,
+            )
+        )
+        results["pose_ate_rmse"] = pose_metrics.ate_rmse(poses, gt_poses)
+        r = pose_metrics.rpe(poses, gt_poses)
+        results["pose_rpe_trans"] = r["trans_rmse"]
+        results["pose_rpe_rot_deg"] = r["rot_rmse_deg"]
+    for k, v in results.items():
+        logger.write(k, v)
     return imgs, results
 
 
@@ -212,18 +235,28 @@ def train(cfg, scene: datasets.SceneData = None):
                 state, metrics = step_fn(state, batch, root_key)
             i += n
 
-            for k, v in metrics.items():
-                logger.write("train_" + k, v)
+            # multi_fn returns stacked per-iteration metrics (leaves shaped
+            # (n,)); log one record per iteration so an 80k-iter run yields
+            # 80k loss points, like the reference's per-iter wandb scalars
+            # (train.py:219-337). step_fn returns scalars (n == 1).
+            metrics_np = jax.tree.map(np.asarray, metrics)
+            for j in range(n):
+                logger.write_record(
+                    i - n + 1 + j,
+                    {"train_" + k: (v[j] if v.ndim else v)
+                     for k, v in metrics_np.items()},
+                )
+            logger.flush()
+            last = {k: (v[-1] if v.ndim else v) for k, v in metrics_np.items()}
 
             if (cfg.console_log_iter > 0 and i % cfg.console_log_iter == 0) or i == cfg.max_iter:
-                jax.block_until_ready(metrics["loss"])
                 dt = time.time() - t_last
                 rays_s = rays_per_iter * n / max(dt, 1e-9)
                 logger.write("rays_per_sec", rays_s)
                 print(
-                    f"[TRAIN] iter {i} loss {float(metrics['loss']):.5f} "
-                    f"event {float(metrics.get('event_loss', 0.0)):.5f} "
-                    f"rgb {float(metrics.get('rgb_loss', 0.0)):.5f} "
+                    f"[TRAIN] iter {i} loss {float(last['loss']):.5f} "
+                    f"event {float(last.get('event_loss', 0.0)):.5f} "
+                    f"rgb {float(last.get('rgb_loss', 0.0)):.5f} "
                     f"({rays_s:,.0f} rays/s)"
                 )
                 t_last = time.time()

@@ -119,7 +119,9 @@ def make_multi_step(cfg, H: int, W: int, n_inner: int, mesh=None, tx=None):
     The whole iteration is device-resident, so scanning amortizes host->device
     dispatch latency (significant when the chip sits behind an RPC tunnel)
     and lets XLA overlap step boundaries. Returns the final state plus the
-    LAST step's metrics (matching what the reference would print).
+    full stacked metrics (each leaf shaped (n_inner,)) so the training loop
+    can log per-iteration loss curves, matching the reference's per-iter
+    wandb scalars (train.py:219-337).
     """
     body = _make_step_body(cfg, H, W, mesh=mesh, tx=tx)
 
@@ -132,15 +134,22 @@ def make_multi_step(cfg, H: int, W: int, n_inner: int, mesh=None, tx=None):
         state2, metrics_stack = jax.lax.scan(
             scan_body, state, xs=None, length=n_inner
         )
-        last = jax.tree.map(lambda m: m[-1], metrics_stack)
-        return state2, last
+        return state2, metrics_stack
 
     return multi_fn
 
 
-def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
+def make_loss_fn(cfg, H: int, W: int, shard=None):
+    """Build (loss_fn, draw_fn) for one iteration's loss.
+
+    loss_fn(params, batch, draws, step) -> (total, metrics) is pure given the
+    `draws` dict; draw_fn(keys) produces that dict from the per-step PRNG
+    keys. Splitting the two lets golden-parity tests inject the *recorded*
+    random draws of the torch reference (window bounds, ray indices,
+    stratification/inverse-CDF uniforms) and compare loss AND gradients
+    through the exact production code path (train.py:204-331).
+    """
     settings = renderer_mod.RenderSettings.from_config(cfg)
-    tx = tx or optim_mod.build_optimizer(cfg)
 
     H_evt, W_evt = cfg.event_height, cfg.event_width
     hw_rgb, hw_evt = H * W, H_evt * W_evt
@@ -148,32 +157,48 @@ def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
     n_rgb_rays = cfg.sampling_rgb_rays // cfg.num_interpolated_pose
     n_poses = cfg.num_interpolated_pose
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        ray_sharding = NamedSharding(mesh, P("data"))
-
-        def shard(x):
-            return jax.lax.with_sharding_constraint(x, ray_sharding)
-    else:
+    if shard is None:
 
         def shard(x):
             return x
 
-    def loss_fn(params, batch: SceneBatch, keys, step):
-        # 1. event window + ETA (model/nerf.py:160-205)
+    def draw_fn(keys):
+        draws = {}
         if cfg.event_time_window:
             low_t, up_t = events_mod.sample_time_window(
                 keys["window"], cfg.accumulate_time_length,
                 cfg.random_sampling_window,
             )
+            draws["low_t"], draws["up_t"] = low_t, up_t
+        else:
+            draws["window_key"] = keys["window"]
+        draws["ray_idx_evt"] = shard(
+            jax.random.permutation(keys["ray_evt"], hw_evt)[:n_evt_rays]
+        )
+        draws["ray_idx_rgb"] = shard(
+            jax.random.permutation(keys["ray_rgb"], hw_rgb)[:n_rgb_rays]
+        )
+        draws["keys_evt"] = {
+            "z": keys["z_evt"], "pdf": keys["pdf_evt"],
+            "noise_c": keys["noise_evt_c"], "noise_f": keys["noise_evt_f"],
+        }
+        draws["keys_rgb"] = {
+            "z": keys["z_rgb"], "pdf": keys["pdf_rgb"],
+            "noise_c": keys["noise_rgb_c"], "noise_f": keys["noise_rgb_f"],
+        }
+        return draws
+
+    def loss_fn(params, batch: SceneBatch, draws, step):
+        # 1. event window + ETA (model/nerf.py:160-205)
+        if cfg.event_time_window:
+            low_t, up_t = draws["low_t"], draws["up_t"]
             eta, eta_overflow = events_mod.eta_time_window(
                 batch.events, hw_evt, low_t, up_t,
                 cap=cfg.event_window_cap,
             )
         else:
             eta, low_t, up_t = events_mod.eta_count_window(
-                batch.events, hw_evt, keys["window"],
+                batch.events, hw_evt, draws["window_key"],
                 cfg.accumulate_time_length, cfg.random_sampling_window,
             )
             eta_overflow = jnp.asarray(0, jnp.int32)
@@ -188,26 +213,20 @@ def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
         )
 
         # 3. ray subsets (randperm equivalent, model/nerf.py:214,224)
-        ray_idx_evt = shard(
-            jax.random.permutation(keys["ray_evt"], hw_evt)[:n_evt_rays]
-        )
-        ray_idx_rgb = shard(
-            jax.random.permutation(keys["ray_rgb"], hw_rgb)[:n_rgb_rays]
-        )
+        ray_idx_evt = draws["ray_idx_evt"]
+        ray_idx_rgb = draws["ray_idx_rgb"]
 
         # 4. renders (event: 2 poses, rgb: n_poses)
         ret_evt = renderer_mod.render_poses_with_ray_idx(
             params["nerf"], params["nerf_fine"], evt_poses, ray_idx_evt,
             batch.K_evt, H_evt, W_evt, settings,
-            keys={"z": keys["z_evt"], "pdf": keys["pdf_evt"],
-                  "noise_c": keys["noise_evt_c"], "noise_f": keys["noise_evt_f"]},
+            keys=draws["keys_evt"],
             remap=batch.evt_remap, step=step,
         )
         ret_rgb = renderer_mod.render_poses_with_ray_idx(
             params["nerf"], params["nerf_fine"], rgb_poses, ray_idx_rgb,
             batch.K_rgb, H, W, settings,
-            keys={"z": keys["z_rgb"], "pdf": keys["pdf_rgb"],
-                  "noise_c": keys["noise_rgb_c"], "noise_f": keys["noise_rgb_f"]},
+            keys=draws["keys_rgb"],
             remap=batch.img_remap, step=step,
         )
 
@@ -259,10 +278,28 @@ def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
         metrics["loss"] = total
         return total, metrics
 
+    return loss_fn, draw_fn
+
+
+def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
+    tx = tx or optim_mod.build_optimizer(cfg)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ray_sharding = NamedSharding(mesh, P("data"))
+
+        def shard(x):
+            return jax.lax.with_sharding_constraint(x, ray_sharding)
+    else:
+        shard = None
+
+    loss_fn, draw_fn = make_loss_fn(cfg, H, W, shard=shard)
+
     def body(state: TrainState, batch: SceneBatch, root_key):
         keys = rng_mod.step_keys(root_key, state.step)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, keys, state.step
+            state.params, batch, draw_fn(keys), state.step
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
