@@ -18,6 +18,16 @@ import numpy as np
 
 from benerf_tpu.data import events as events_mod
 
+# Pose recentering + render-path generation live in geometry.camera_paths
+# (vectorized re-design; behavior spec load_data.py:144-260,390-439).
+# Re-exported here because they are part of the data-loading surface.
+from benerf_tpu.geometry.camera_paths import (  # noqa: F401
+    recenter_poses,
+    regenerate_pose,
+    spherify_path,
+    spiral_path,
+)
+
 
 def _imread(path: str) -> np.ndarray:
     from imageio.v3 import imread
@@ -227,145 +237,3 @@ def _load_camera_poses(datadir, H, W, cubic, index):
     return both[0:n], both[n : 2 * n]
 
 
-def _poses_avg(poses):
-    def normalize(v):
-        return v / np.linalg.norm(v)
-
-    center = poses[:, :3, 3].mean(0)
-    vec2 = normalize(poses[:, :3, 2].sum(0))
-    up = poses[:, :3, 1].sum(0)
-    vec0 = normalize(np.cross(up, vec2))
-    vec1 = normalize(np.cross(vec2, vec0))
-    m = np.stack([vec0, vec1, vec2, center], 1)
-    hwf = poses[0, :3, -1:]
-    return np.concatenate([m, hwf], 1)
-
-
-def render_path_spiral(c2w, up, rads, focal, zrate, rots, N):
-    """Spiral of render poses around an average pose (load_data.py:166-179)."""
-
-    def normalize(v):
-        return v / np.linalg.norm(v)
-
-    def viewmatrix(z, up_, pos):
-        vec2 = normalize(z)
-        vec0 = normalize(np.cross(up_, vec2))
-        vec1 = normalize(np.cross(vec2, vec0))
-        return np.stack([vec0, vec1, vec2, pos], 1)
-
-    out = []
-    rads = np.array(list(rads) + [1.0])
-    hwf = c2w[:, 4:5]
-    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
-        c = np.dot(
-            c2w[:3, :4],
-            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0])
-            * rads,
-        )
-        z = normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
-        out.append(np.concatenate([viewmatrix(z, up, c), hwf], 1))
-    return np.array(out, np.float32)
-
-
-def spherify_poses(poses, bds):
-    """Rebase an inward-facing capture onto a sphere and emit a circular
-    render path (load_data.py:194-260)."""
-
-    def normalize(v):
-        return v / np.linalg.norm(v)
-
-    p34_to_44 = lambda p: np.concatenate(
-        [p, np.tile(np.reshape(np.eye(4)[-1, :], [1, 1, 4]), [p.shape[0], 1, 1])],
-        1,
-    )
-    rays_d = poses[:, :3, 2:3]
-    rays_o = poses[:, :3, 3:4]
-
-    A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
-    b_i = -A_i @ rays_o
-    center = np.squeeze(
-        -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0))
-        @ b_i.mean(0)
-    )
-    up = (poses[:, :3, 3] - center).mean(0)
-
-    vec0 = normalize(up)
-    vec1 = normalize(np.cross([0.1, 0.2, 0.3], vec0))
-    vec2 = normalize(np.cross(vec0, vec1))
-    c2w = np.stack([vec1, vec2, vec0, center], 1)
-
-    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
-    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
-    sc = 1.0 / rad
-    poses_reset[:, :3, 3] *= sc
-    bds = bds * sc
-    rad *= sc
-
-    centroid = np.mean(poses_reset[:, :3, 3], 0)
-    zh = centroid[2]
-    radcircle = np.sqrt(max(rad**2 - zh**2, 1e-12))
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array(
-            [radcircle * np.cos(th), radcircle * np.sin(th), zh]
-        )
-        up_ = np.array([0, 0, -1.0])
-        vec2 = normalize(camorigin)
-        vec0 = normalize(np.cross(vec2, up_))
-        vec1 = normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
-    new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)],
-        -1,
-    )
-    poses_reset = np.concatenate(
-        [
-            poses_reset[:, :3, :4],
-            np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape),
-        ],
-        -1,
-    )
-    return poses_reset, new_poses, bds
-
-
-def regenerate_pose(poses, bds, recenter=True, bd_factor=0.75, spherify=False,
-                    path_zflat=False):
-    """Build a render-path pose set from a captured pose bundle
-    (load_data.py:390-439; unused by the reference drivers, kept for parity)."""
-    if recenter:
-        poses = recenter_poses(poses)
-    if spherify:
-        _, render_poses, _ = spherify_poses(poses, bds)
-        return np.asarray(render_poses, np.float32)
-
-    c2w = _poses_avg(poses)
-    up = poses[:, :3, 1].sum(0)
-    up = up / np.linalg.norm(up)
-    close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
-    dt = 0.75
-    focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
-    zdelta = close_depth * 0.2
-    tt = poses[:, :3, 3]
-    rads = np.percentile(np.abs(tt), 90, 0)
-    N_views, N_rots = 120, 2
-    if path_zflat:
-        c2w[:3, 3] = c2w[:3, 3] + (-close_depth * 0.1) * c2w[:3, 2]
-        rads[2] = 0.0
-        N_rots = 1
-        N_views //= 2
-    return render_path_spiral(c2w, up, rads, focal, zrate=0.5, rots=N_rots,
-                              N=N_views)
-
-
-def recenter_poses(poses):
-    """Rebase all poses around their average (load_data.py:181-192)."""
-    poses_ = poses.copy()
-    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
-    c2w = _poses_avg(poses)
-    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
-    bottom_n = np.tile(bottom[None], [poses.shape[0], 1, 1])
-    p44 = np.concatenate([poses[:, :3, :4], bottom_n], -2)
-    fixed = np.linalg.inv(c2w) @ p44
-    poses_[:, :3, :4] = fixed[:, :3, :4]
-    return poses_

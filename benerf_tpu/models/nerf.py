@@ -143,13 +143,12 @@ def apply(
         if compute_dtype is not None:
             a = a.astype(compute_dtype)
             w = w.astype(compute_dtype)
-            precision = jax.lax.Precision.DEFAULT
-        else:
-            # true fp32 matmuls: the TPU backend default lowers f32 operands
-            # to one bf16 MXU pass; HIGHEST requests the full-precision path
-            precision = jax.lax.Precision.HIGHEST
-        return jnp.dot(a, w, preferred_element_type=jnp.float32,
-                       precision=precision)
+            return jnp.dot(a, w, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+        # true fp32 (or fp64 under x64) matmuls: the TPU backend default
+        # lowers f32 operands to one bf16 MXU pass; HIGHEST requests the
+        # full-precision path. Accumulation dtype follows the operands.
+        return jnp.dot(a, w, precision=jax.lax.Precision.HIGHEST)
 
     h = pe
     for i, layer in enumerate(params["pts"]):

@@ -61,3 +61,18 @@ def nerf_params_from_state_dict(
         params["output"] = {"w": get("output_linear.weight").T,
                             "b": get("output_linear.bias")}
     return params
+
+
+def crf_params_from_state_dict(sd: dict, prefix: str = ""):
+    """Convert a ColorToneMapper.mlp_gray / LuminanceToneMapper.mlp_luminance
+    nn.Sequential state dict (component.py:48-58,126-135: Linear layers at
+    even indices, ReLU between) to models.crf param pytrees."""
+    idxs = sorted(
+        {int(k[len(prefix):].split(".")[0]) for k in sd if k.startswith(prefix)}
+    )
+    layers = [
+        {"w": jnp.asarray(sd[f"{prefix}{i}.weight"]).T,
+         "b": jnp.asarray(sd[f"{prefix}{i}.bias"])}
+        for i in idxs
+    ]
+    return {"layers": layers}

@@ -14,7 +14,23 @@ import jax
 from benerf_tpu.models import nerf as nerf_model
 
 
+_FORCE_INTERPRET = False
+
+
+def force_interpret(enable: bool = True) -> None:
+    """Route mlp_forward through the Pallas kernel in interpreter mode on any
+    backend (tests + the multichip dryrun exercise the kernel under SPMD on
+    the CPU mesh this way)."""
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = enable
+    from benerf_tpu.ops import pallas_mlp
+
+    pallas_mlp.INTERPRET = enable
+
+
 def _pallas_available() -> bool:
+    if _FORCE_INTERPRET:
+        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
@@ -32,8 +48,17 @@ def mlp_forward(
     barf_weights_views=None,
     use_pallas: bool = True,
     compute_dtype: str = "float32",
+    mesh=None,
+    data_axis: str = "data",
 ):
-    """Evaluate the NeRF MLP on (..., S, 3) points. See models.nerf.apply."""
+    """Evaluate the NeRF MLP on (..., S, 3) points. See models.nerf.apply.
+
+    mesh: under SPMD the Pallas kernel is wrapped in jax.shard_map with rays
+    sharded over `data_axis` and params replicated — XLA cannot partition a
+    custom call by itself, so without this the kernel would force an
+    all-gather of the ray batch. shard_map's AD inserts the psum that turns
+    per-shard weight-gradient partials into the replicated gradient.
+    """
     import jax.numpy as jnp
 
     cd = None if compute_dtype == "float32" else jnp.bfloat16
@@ -47,12 +72,40 @@ def mlp_forward(
         from benerf_tpu.ops import fused_mlp
 
         if fused_mlp.supports(params, pts):
-            return fused_mlp.fused_nerf_mlp(
-                params, pts, viewdirs,
+            kernel_kw = dict(
                 num_freqs=num_freqs,
                 num_freqs_views=num_freqs_views,
                 compute_dtype=compute_dtype,
             )
+            if mesh is not None and pts.ndim == 3:
+                from jax.sharding import PartitionSpec as P
+
+                def kernel(params_, pts_, vd_):
+                    return fused_mlp.fused_nerf_mlp(
+                        params_, pts_, vd_, **kernel_kw
+                    )
+
+                sharded = jax.shard_map(
+                    kernel,
+                    mesh=mesh,
+                    in_specs=(P(), P(data_axis), P(data_axis)),
+                    out_specs=P(data_axis),
+                    # pallas_call outputs don't carry varying-mesh-axes
+                    # metadata; skip the vma check (shapes are still checked)
+                    check_vma=False,
+                )
+                # shard_map needs the ray axis divisible by the mesh; rays
+                # are independent, so pad with copies and slice the result
+                R = pts.shape[0]
+                pad = (-R) % mesh.shape[data_axis]
+                if pad:
+                    pts = jnp.concatenate([pts, pts[:pad]], axis=0)
+                    viewdirs = jnp.concatenate(
+                        [viewdirs, viewdirs[:pad]], axis=0
+                    )
+                out = sharded(params, pts, viewdirs)
+                return out[:R] if pad else out
+            return fused_mlp.fused_nerf_mlp(params, pts, viewdirs, **kernel_kw)
 
     return nerf_model.apply(
         params,

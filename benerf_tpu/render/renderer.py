@@ -94,6 +94,7 @@ def render_rays(
     focal,
     keys: Optional[dict] = None,
     step=None,
+    mesh=None,
 ):
     """Render a batch of rays through the coarse+fine pipeline.
 
@@ -139,6 +140,7 @@ def render_rays(
             barf_weights_views=bwv,
             use_pallas=settings.use_pallas,
             compute_dtype=settings.compute_dtype,
+            mesh=mesh,
         )
 
     raw = run_mlp(nerf_params, pts, viewdirs)
@@ -194,6 +196,7 @@ def render_poses_with_ray_idx(
     keys=None,
     remap=None,
     step=None,
+    mesh=None,
 ):
     """Training-path rendering: every pose sees the same pixel subset.
 
@@ -210,5 +213,5 @@ def render_poses_with_ray_idx(
     rays_o, rays_d = raysm.rays_from_flat_idx(idx_tiled, W, K, poses_tiled, remap)
     return render_rays(
         nerf_params, nerf_fine_params, rays_o, rays_d,
-        settings, H, W, K[0, 0], keys=keys, step=step,
+        settings, H, W, K[0, 0], keys=keys, step=step, mesh=mesh,
     )

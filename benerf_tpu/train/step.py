@@ -139,7 +139,7 @@ def make_multi_step(cfg, H: int, W: int, n_inner: int, mesh=None, tx=None):
     return multi_fn
 
 
-def make_loss_fn(cfg, H: int, W: int, shard=None):
+def make_loss_fn(cfg, H: int, W: int, shard=None, mesh=None):
     """Build (loss_fn, draw_fn) for one iteration's loss.
 
     loss_fn(params, batch, draws, step) -> (total, metrics) is pure given the
@@ -156,6 +156,15 @@ def make_loss_fn(cfg, H: int, W: int, shard=None):
     n_evt_rays = cfg.sampling_event_rays
     n_rgb_rays = cfg.sampling_rgb_rays // cfg.num_interpolated_pose
     n_poses = cfg.num_interpolated_pose
+
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if (2 * n_evt_rays) % n_dev:
+            raise ValueError(
+                f"sampling_event_rays={n_evt_rays} gives {2 * n_evt_rays} "
+                f"event-render rays, not divisible by the {n_dev}-device "
+                f"mesh — choose a multiple of {max(n_dev // 2, 1)}"
+            )
 
     if shard is None:
 
@@ -221,13 +230,13 @@ def make_loss_fn(cfg, H: int, W: int, shard=None):
             params["nerf"], params["nerf_fine"], evt_poses, ray_idx_evt,
             batch.K_evt, H_evt, W_evt, settings,
             keys=draws["keys_evt"],
-            remap=batch.evt_remap, step=step,
+            remap=batch.evt_remap, step=step, mesh=mesh,
         )
         ret_rgb = renderer_mod.render_poses_with_ray_idx(
             params["nerf"], params["nerf_fine"], rgb_poses, ray_idx_rgb,
             batch.K_rgb, H, W, settings,
             keys=draws["keys_rgb"],
-            remap=batch.img_remap, step=step,
+            remap=batch.img_remap, step=step, mesh=mesh,
         )
 
         metrics = {}
@@ -294,7 +303,7 @@ def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
     else:
         shard = None
 
-    loss_fn, draw_fn = make_loss_fn(cfg, H, W, shard=shard)
+    loss_fn, draw_fn = make_loss_fn(cfg, H, W, shard=shard, mesh=mesh)
 
     def body(state: TrainState, batch: SceneBatch, root_key):
         keys = rng_mod.step_keys(root_key, state.step)
