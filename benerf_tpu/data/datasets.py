@@ -180,19 +180,32 @@ def load_scene(datadir: str, cfg) -> SceneData:
     img_s, img_e, evt_s, evt_e = load_timestamps(datadir, cfg)
     ev = load_events_raw(datadir, cfg, evt_s, evt_e)
 
-    # sort by t and normalize ts to [0,1] (load_data.py:354-362) — one pass
-    # through the native engine (csrc/events.cpp) when built
+    # sort by t and normalize ts to [0,1] (load_data.py:354-362) — ONE pass
+    # through the native engine (csrc/events.cpp) when built; the raw table
+    # is not re-sorted or retained (SceneData.raw_events stays None unless a
+    # debugging caller fills it).
     event_arrays = events_mod.prepare_raw(
         ev[:, 0], ev[:, 1], ev[:, 2], ev[:, 3],
         width=cfg.event_width, t_lo=evt_s, t_hi=evt_e,
     )
-    ev = ev[ev[:, 2].argsort()]
-    ts_norm = (ev[:, 2] - evt_s) / (evt_e - evt_s)
 
     rgb_exp_ts = np.array(
         [(img_s - evt_s) / (evt_e - evt_s), (img_e - evt_s) / (evt_e - evt_s)],
         np.float32,
     )  # load_data.py:384-386
+
+    # Optional ground-truth trajectory sidecar (written by our synthetic
+    # scene generators only; real datasets have none). Enables in-train
+    # ATE/RPE pose-recovery metrics — see train/loop.py periodic_eval.
+    gt_knots = gt_exp_us = None
+    gt_path = os.path.join(datadir, "gt_trajectory.npz")
+    if os.path.exists(gt_path):
+        with np.load(gt_path) as gt:
+            gt_knots = gt["knots"].astype(np.float32)
+            t0, t1 = float(gt["t_lo"]), float(gt["t_hi"])
+        gt_exp_us = np.array(
+            [(img_s - t0) / (t1 - t0), (img_e - t0) / (t1 - t0)], np.float32
+        )
 
     poses = ev_poses = trans = None
     if cfg.loadpose:
@@ -211,7 +224,8 @@ def load_scene(datadir: str, cfg) -> SceneData:
         poses=poses,
         ev_poses=ev_poses,
         trans=trans,
-        raw_events={"x": ev[:, 0], "y": ev[:, 1], "ts": ts_norm, "pol": ev[:, 3]},
+        gt_knots=gt_knots,
+        gt_exp_us=gt_exp_us,
     )
 
 

@@ -192,4 +192,13 @@ def write_benerf_blender_scene(
     events = events[events[:, 2].argsort()]
     np.save(os.path.join(outdir, "events", "events.npy"), events)
     np.savetxt(os.path.join(outdir, "poses_ts.txt"), ts)
+    # Ground-truth trajectory sidecar: lets datasets.load_scene populate
+    # SceneData.gt_knots so training reports in-train ATE/RPE pose recovery
+    # (train/loop.py periodic_eval). Real datasets have no such file.
+    np.savez(
+        os.path.join(outdir, "gt_trajectory.npz"),
+        knots=knots,
+        t_lo=np.float64(ts[0]),
+        t_hi=np.float64(ts[-1]),
+    )
     return gt

@@ -133,7 +133,10 @@ def spherify_path(poses: np.ndarray, bounds: np.ndarray, n_poses: int = 120):
         [r_circle * np.cos(theta), r_circle * np.sin(theta),
          np.full_like(theta, zh)], axis=-1
     )
-    ring_frames = frames_from_z_up(ring, np.array([0.0, 0.0, -1.0]))
+    # The reference builds ring frames with vec0 = cross(z, up), up = -e3
+    # (load_data.py:246-250); frames_from_z_up uses x = cross(up, z), so the
+    # equivalent up hint here is +e3 (cross(e3, z) == cross(z, -e3)).
+    ring_frames = frames_from_z_up(ring, np.array([0.0, 0.0, 1.0]))
 
     hwf = poses[0, :3, 4:5]
     path = np.concatenate(

@@ -99,9 +99,18 @@ def mlp_forward(
                 R = pts.shape[0]
                 pad = (-R) % mesh.shape[data_axis]
                 if pad:
-                    pts = jnp.concatenate([pts, pts[:pad]], axis=0)
+                    # pad > R is possible when the ray batch is smaller than
+                    # the mesh; tile enough copies before slicing.
+                    reps = -(-pad // R) if R else 1
+                    pts = jnp.concatenate(
+                        [pts, jnp.tile(pts, (reps,) + (1,) * (pts.ndim - 1))[:pad]],
+                        axis=0,
+                    )
                     viewdirs = jnp.concatenate(
-                        [viewdirs, viewdirs[:pad]], axis=0
+                        [viewdirs,
+                         jnp.tile(viewdirs,
+                                  (reps,) + (1,) * (viewdirs.ndim - 1))[:pad]],
+                        axis=0,
                     )
                 out = sharded(params, pts, viewdirs)
                 return out[:R] if pad else out

@@ -158,12 +158,15 @@ def make_loss_fn(cfg, H: int, W: int, shard=None, mesh=None):
     n_poses = cfg.num_interpolated_pose
 
     if mesh is not None:
+        import math as _math
+
         n_dev = mesh.devices.size
         if (2 * n_evt_rays) % n_dev:
+            need = n_dev // _math.gcd(2, n_dev)
             raise ValueError(
                 f"sampling_event_rays={n_evt_rays} gives {2 * n_evt_rays} "
                 f"event-render rays, not divisible by the {n_dev}-device "
-                f"mesh — choose a multiple of {max(n_dev // 2, 1)}"
+                f"mesh — choose a multiple of {need}"
             )
 
     if shard is None:

@@ -202,7 +202,10 @@ def run_case(torch, name, args, data, rng, f64=False):
             data[f"{p}event_crf::{k}"] = v.numpy().copy()
 
     # --- monkeypatched forward with recorded randomness --------------------
-    rec = Recorder(torch, seed=hash(name) % (2**31))
+    import zlib
+
+    # stable across interpreter runs (hash() is salted by PYTHONHASHSEED)
+    rec = Recorder(torch, seed=zlib.crc32(name.encode()) % (2**31))
     # graph.forward computes low_t = np.random.rand(1) * (1 - window_t)
     # (model/nerf.py:165); pre-divide so the actual window start is the
     # float32-exact value we record
