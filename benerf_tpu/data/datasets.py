@@ -54,6 +54,9 @@ class SceneData:
     gt_exp_us: Optional[np.ndarray] = None # (2,) exposure interval in the GT
                                            # spline's unit time (maps local
                                            # normalized ts -> GT trajectory u)
+    gt_plane_depth: Optional[float] = None # dominant scene depth for the
+                                           # gauge-fixed reprojection-flow
+                                           # pose metric
 
 
 def _list_images(d: str):
@@ -197,12 +200,14 @@ def load_scene(datadir: str, cfg) -> SceneData:
     # Optional ground-truth trajectory sidecar (written by our synthetic
     # scene generators only; real datasets have none). Enables in-train
     # ATE/RPE pose-recovery metrics — see train/loop.py periodic_eval.
-    gt_knots = gt_exp_us = None
+    gt_knots = gt_exp_us = gt_plane_depth = None
     gt_path = os.path.join(datadir, "gt_trajectory.npz")
     if os.path.exists(gt_path):
         with np.load(gt_path) as gt:
             gt_knots = gt["knots"].astype(np.float32)
             t0, t1 = float(gt["t_lo"]), float(gt["t_hi"])
+            if "plane_depth" in gt:
+                gt_plane_depth = float(gt["plane_depth"])
         gt_exp_us = np.array(
             [(img_s - t0) / (t1 - t0), (img_e - t0) / (t1 - t0)], np.float32
         )
@@ -226,6 +231,7 @@ def load_scene(datadir: str, cfg) -> SceneData:
         trans=trans,
         gt_knots=gt_knots,
         gt_exp_us=gt_exp_us,
+        gt_plane_depth=gt_plane_depth,
     )
 
 

@@ -1,11 +1,19 @@
 """Synthetic BeNeRF-format scene generator.
 
 No dataset ships with this container, so tests, benchmarks, and end-to-end
-demos generate a physically consistent miniature scene: an analytic
-Gaussian-blob radiance field volume-rendered along a known cubic-B-spline
-camera trajectory; the blurry input image is the exposure-time average and
-the event stream is ESIM-style per-pixel log-intensity threshold crossings
-between consecutive virtual frames.
+demos generate a physically consistent miniature scene: an analytic radiance
+field (a sinusoid-textured back wall plus opaque Gaussian blobs) volume-
+rendered along a known cubic-B-spline camera trajectory; the blurry input
+image is the exposure-time average and the event stream is ESIM-style
+per-pixel log-intensity threshold crossings between consecutive virtual
+frames.
+
+The wall texture is band-limited (sums of sinusoids) so the scene carries
+real high-frequency content: the exposure average is *measurably* blurry
+(target pixel sweep is calibrated — see `write_benerf_blender_scene`'s
+`target_blur_px`), edges fire plentiful events, and a NeRF with standard
+positional encoding can represent it. This is what makes deblurring PSNR a
+meaningful recovery metric rather than a no-op.
 
 `write_benerf_blender_scene` serializes it in the exact on-disk layout of the
 BeNeRF_Blender datasets (images/*.png + images_test/*.png + events/events.npy
@@ -25,27 +33,67 @@ from benerf_tpu.geometry import spline as spline_mod
 
 @dataclass
 class BlobScene:
-    centers: np.ndarray  # (K,3)
-    scales: np.ndarray   # (K,)
-    colors: np.ndarray   # (K,3)
+    # foreground occluders
+    centers: np.ndarray    # (K,3)
+    scales: np.ndarray     # (K,)
+    colors: np.ndarray     # (K,3)
     densities: np.ndarray  # (K,)
+    # textured back wall (the high-frequency content)
+    wall_z: float = -4.0
+    wall_thickness: float = 0.07
+    wall_density: float = 45.0
+    wall_base: np.ndarray = field(default_factory=lambda: np.full(3, 0.55))
+    wall_freqs: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
+    wall_phases: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
+    wall_amps: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
     background: np.ndarray = field(default_factory=lambda: np.zeros(3))
 
 
-def make_scene(seed: int = 0, n_blobs: int = 7) -> BlobScene:
+def make_scene(seed: int = 0, n_blobs: int = 8, n_waves: int = 3) -> BlobScene:
+    """Opaque foreground blobs in front of a sinusoid-textured wall.
+
+    Wave frequencies target a ~8-16 px period at the demo focal length
+    (focal 90, wall depth 4 -> ~0.044 world units / px), i.e. content the
+    blur sweep visibly destroys but PE(L=10) easily represents.
+    """
     rng = np.random.default_rng(seed)
     centers = np.stack(
         [
             rng.uniform(-1.2, 1.2, n_blobs),
             rng.uniform(-0.9, 0.9, n_blobs),
-            rng.uniform(-5.0, -2.5, n_blobs),
+            rng.uniform(-3.6, -2.3, n_blobs),
         ],
         axis=-1,
     )
-    scales = rng.uniform(0.25, 0.6, n_blobs)
-    colors = rng.uniform(0.2, 1.0, (n_blobs, 3))
-    densities = rng.uniform(4.0, 12.0, n_blobs)
-    return BlobScene(centers, scales, colors, densities)
+    scales = rng.uniform(0.10, 0.28, n_blobs)
+    colors = rng.uniform(0.15, 1.0, (n_blobs, 3))
+    densities = rng.uniform(25.0, 60.0, n_blobs)
+
+    freqs = rng.uniform(9.0, 18.0, (n_waves, 2)) * rng.choice(
+        [-1.0, 1.0], (n_waves, 2)
+    )
+    phases = rng.uniform(0.0, 2 * np.pi, (n_waves, 2))
+    amps = rng.uniform(0.08, 0.16, (n_waves, 1)) * rng.uniform(
+        0.6, 1.0, (n_waves, 3)
+    )
+    return BlobScene(
+        centers, scales, colors, densities,
+        wall_freqs=freqs, wall_phases=phases, wall_amps=amps,
+    )
+
+
+def wall_texture(scene: BlobScene, x, y):
+    """(..., 3) albedo of the wall at world (x, y)."""
+    tex = np.broadcast_to(
+        scene.wall_base, np.shape(x) + (3,)
+    ).astype(np.float64).copy()
+    for m in range(len(scene.wall_freqs)):
+        fx, fy = scene.wall_freqs[m]
+        px, py = scene.wall_phases[m]
+        tex = tex + scene.wall_amps[m] * (
+            np.sin(fx * x + px) * np.sin(fy * y + py)
+        )[..., None]
+    return np.clip(tex, 0.02, 1.0)
 
 
 def field_at(scene: BlobScene, pts: np.ndarray):
@@ -55,12 +103,19 @@ def field_at(scene: BlobScene, pts: np.ndarray):
     )  # (..., K)
     g = np.exp(-0.5 * d2 / scene.scales**2)  # (..., K)
     sigma = np.sum(scene.densities * g, axis=-1)
-    wsum = np.sum(g, axis=-1, keepdims=True) + 1e-9
-    rgb = (g @ scene.colors) / wsum
+
+    g_wall = np.exp(
+        -0.5 * ((pts[..., 2] - scene.wall_z) / scene.wall_thickness) ** 2
+    )
+    sigma = sigma + scene.wall_density * g_wall
+    tex = wall_texture(scene, pts[..., 0], pts[..., 1])
+
+    wsum = np.sum(g, axis=-1, keepdims=True) + g_wall[..., None] + 1e-9
+    rgb = (g @ scene.colors + g_wall[..., None] * tex) / wsum
     return sigma, np.clip(rgb, 0.0, 1.0)
 
 
-def render_frame(scene, pose, H, W, K, n_samples=128, near=1.0, far=8.0):
+def render_frame(scene, pose, H, W, K, n_samples=160, near=1.0, far=8.0):
     """Reference-convention volume render of the analytic field (numpy).
 
     pose: (3,4) camera-to-world, OpenGL-style look-down--z like the training
@@ -92,13 +147,14 @@ def events_from_frames(frames, t_lo, t_hi, threshold=0.1, eps=1e-9, seed=0):
     """ESIM-style event synthesis from a frame stack (F,H,W,3).
 
     Per pixel, events fire whenever log-gray crosses multiples of the
-    threshold from a per-pixel reference level; timestamps interpolate
-    linearly inside each inter-frame interval. Returns (N,4) [x,y,t,p].
+    threshold from a per-pixel reference level; timestamps land uniformly
+    inside each inter-frame interval. Returns (N,4) [x,y,t,p], unsorted
+    (callers sort by t).
     """
     rng = np.random.default_rng(seed)
     gray = frames @ np.array([0.299, 0.587, 0.114])
     logi = np.log(gray + eps)
-    F, H, W = logi.shape
+    F = logi.shape[0]
     times = np.linspace(t_lo, t_hi, F)
     ref = logi[0].copy()
     out = []
@@ -106,25 +162,76 @@ def events_from_frames(frames, t_lo, t_hi, threshold=0.1, eps=1e-9, seed=0):
         delta = logi[f] - ref
         n = np.floor(np.abs(delta) / threshold).astype(int)
         ys, xs = np.nonzero(n)
-        for y, x in zip(ys, xs):
-            cnt = n[y, x]
-            pol = np.sign(delta[y, x])
-            # spread the events uniformly in this inter-frame interval
-            tt = np.sort(rng.uniform(times[f - 1], times[f], cnt))
-            for t in tt:
-                out.append((x, y, t, pol))
-            ref[y, x] += pol * cnt * threshold
+        if len(ys) == 0:
+            continue
+        cnts = n[ys, xs]
+        pols = np.sign(delta[ys, xs])
+        xs_r = np.repeat(xs, cnts).astype(np.float64)
+        ys_r = np.repeat(ys, cnts).astype(np.float64)
+        pol_r = np.repeat(pols, cnts)
+        tt = rng.uniform(times[f - 1], times[f], len(xs_r))
+        out.append(np.stack([xs_r, ys_r, tt, pol_r], axis=-1))
+        ref[ys, xs] += pols * cnts * threshold
     if not out:
         return np.zeros((0, 4))
-    return np.array(out, np.float64)
+    return np.concatenate(out, axis=0)
 
 
-def make_trajectory(seed=0, scale=0.06):
-    """Random small se(3) knots (the GT trajectory to recover)."""
+def make_trajectory(seed=0, rot_scale=0.02, trans_scale=0.25):
+    """Random smooth se(3) knots [w|u] (the GT trajectory to recover)."""
     rng = np.random.default_rng(seed)
-    base = rng.normal(scale=scale, size=(1, 6))
-    deltas = np.cumsum(rng.normal(scale=scale, size=(4, 6)), axis=0)
-    return (base + deltas).astype(np.float32)
+    scales = np.array([rot_scale] * 3 + [trans_scale] * 3)
+    base = rng.normal(size=(1, 6))
+    deltas = np.cumsum(rng.normal(size=(4, 6)), axis=0)
+    return ((base + deltas) * scales).astype(np.float32)
+
+
+def _pixel_sweep(knots, K, wall_z, n_images, n_samples=9):
+    """Max image-plane displacement (px) of wall points within ONE exposure."""
+    import jax.numpy as jnp
+
+    xs = np.linspace(-0.8, 0.8, 4)
+    grid = np.stack(np.meshgrid(xs, xs), -1).reshape(-1, 2)
+    pts3 = np.concatenate(
+        [grid, np.full((len(grid), 1), wall_z)], axis=-1
+    )  # (N,3)
+    worst = 0.0
+    for i in range(n_images):
+        us = np.linspace(i / n_images, (i + 1) / n_images, n_samples)
+        poses = np.asarray(
+            spline_mod.cubic_bspline_pose(jnp.asarray(knots), jnp.asarray(us))
+        )
+        uv = []
+        for p in poses:
+            pc = (pts3 - p[:3, 3]) @ p[:3, :3]  # world -> camera
+            z = np.maximum(-pc[:, 2], 1e-6)
+            uv.append(
+                np.stack(
+                    [K[0, 0] * pc[:, 0] / z, K[1, 1] * pc[:, 1] / z], axis=-1
+                )
+            )
+        uv = np.stack(uv)  # (S,N,2)
+        d = np.ptp(uv, axis=0)  # (N,2) per-point sweep
+        worst = max(worst, float(np.hypot(d[:, 0], d[:, 1]).max()))
+    return worst
+
+
+def calibrated_trajectory(seed, K, wall_z=-4.0, n_images=1,
+                          target_blur_px=6.0, rot_scale=0.02):
+    """Knots rescaled so the worst single-exposure pixel sweep ~ target_blur_px.
+
+    Random-walk knot shapes give a different trajectory per seed; rescaling
+    the whole se(3) vector (rotation AND translation contribute blur) pins the
+    *magnitude* so quality metrics are comparable across seeds. Two fixpoint
+    passes converge to ~1% (exp of a scaled tangent is near-linear here).
+    """
+    knots = make_trajectory(seed, rot_scale=rot_scale, trans_scale=0.25)
+    for _ in range(2):
+        sweep = _pixel_sweep(knots, K, wall_z, n_images)
+        if sweep < 1e-9:
+            break
+        knots = (knots * (target_blur_px / sweep)).astype(np.float32)
+    return knots
 
 
 def write_benerf_blender_scene(
@@ -136,18 +243,23 @@ def write_benerf_blender_scene(
     threshold: float = 0.1,
     seed: int = 0,
     n_images: int = 2,
+    target_blur_px: float = 6.0,
 ):
     """Write a BeNeRF_Blender-format scene directory; returns ground truth.
 
     Timeline: poses_ts.txt has n_images+1 stamps (ms-style units); image i's
     exposure spans [ts[i], ts[i+1]] (load_data.py:92-96). The camera follows
-    a cubic spline over the whole timeline.
+    a cubic spline over the whole timeline whose magnitude is calibrated so
+    each exposure sweeps ~target_blur_px pixels of image motion.
     """
     from imageio.v3 import imwrite
 
     scene = make_scene(seed)
-    knots = make_trajectory(seed)
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float64)
+    knots = calibrated_trajectory(
+        seed, K, wall_z=scene.wall_z, n_images=n_images,
+        target_blur_px=target_blur_px,
+    )
 
     ts = np.linspace(0.0, 1000.0 * n_images, n_images + 1)
 
@@ -200,5 +312,8 @@ def write_benerf_blender_scene(
         knots=knots,
         t_lo=np.float64(ts[0]),
         t_hi=np.float64(ts[-1]),
+        # dominant scene depth (the textured wall): anchors the gauge-fixed
+        # reprojection-flow pose metric (eval/pose_metrics.reproj_flow_error)
+        plane_depth=np.float64(abs(scene.wall_z)),
     )
     return gt

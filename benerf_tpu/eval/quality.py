@@ -1,0 +1,215 @@
+"""Joint-recovery quality harness: the evidence BeNeRF exists to produce.
+
+The reference's deliverable is a recovered camera trajectory plus a deblurred
+NeRF, evaluated in-train every few thousand iterations
+(/root/reference/train.py:403-441) and offline (/root/reference/test.py:111-135,
+metrics.py:21-100). This module trains the bundled synthetic blur+events scene
+and records that evidence quantitatively:
+
+  - pose recovery: ATE / RPE of the recovered spline trajectory against the
+    generator's ground-truth knots, at every eval checkpoint;
+  - deblurring:    PSNR / SSIM of the rendered mid-exposure frame against the
+    sharp ground truth, compared to the blurry *input* image's own PSNR —
+    the bar the system must beat to have deblurred anything.
+
+CLI (writes one JSON artifact):
+
+    python -m benerf_tpu.eval.quality --iters 8000 --evals 4 \
+        --workdir /tmp/quality --out QUALITY_r03.json
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+def demo_config(datadir: str, logdir: str, iters: int, evals: int = 4,
+                H: int = 80, W: int = 80, focal: float = 90.0, **overrides):
+    """Config for the bundled synthetic scene (mirrors configs/demo.txt)."""
+    from benerf_tpu.core.config import Config
+
+    eval_iter = max(1, iters // max(evals, 1))
+    kw = dict(
+        project="quality", datadir=datadir, logdir=logdir,
+        dataset="BeNeRF_Blender", index=0, channels=3,
+        rgb_fx=focal, rgb_fy=focal, rgb_cx=W / 2, rgb_cy=H / 2,
+        rgb_width=W, rgb_height=H,
+        event_fx=focal, event_fy=focal, event_cx=W / 2, event_cy=H / 2,
+        event_width=W, event_height=H,
+        event_threshold=0.1, event_shift_start=0, event_shift_end=0,
+        accumulate_time_length=0.1, random_sampling_window=True,
+        event_time_window=True,
+        sampling_event_rays=1024, sampling_rgb_rays=1024,
+        N_samples=64, N_importance=64, use_viewdirs=True,
+        optimize_nerf=True, optimize_pose=True,
+        lrate=5e-4, pose_lrate=5e-4, decay_rate=0.1, decay_rate_pose=0.1,
+        console_log_iter=min(100, eval_iter),
+        render_image_iter=eval_iter, render_video_iter=0,
+        save_model_iter=iters, max_iter=iters,
+        rgb_loss=True, event_loss=True, event_coeff_syn=0.1, rgb_coeff=1.0,
+    )
+    kw.update(overrides)
+    return Config(**kw)
+
+
+def gt_pose_samples(scene, cfg, n: int) -> np.ndarray:
+    """Interpolate the generator's GT knots over the exposure interval —
+    identical mapping to train/loop.py periodic_eval."""
+    import jax.numpy as jnp
+
+    from benerf_tpu.geometry import spline as spline_mod
+
+    us = scene.gt_exp_us if scene.gt_exp_us is not None else scene.rgb_exp_ts
+    return np.asarray(
+        spline_mod.interpolate_poses(
+            jnp.asarray(scene.gt_knots), float(us[0]), float(us[1]), n,
+            cfg.traj,
+        )
+    )
+
+
+def initial_pose_error(scene, cfg, K, H, W) -> dict:
+    """Pose error of the *initial* (random U(0,0.01)) trajectory — the bar
+    the optimizer must beat (reference init: model/optimize.py:22-29). The
+    headline number is the gauge-fixed reprojection-flow error: a do-nothing
+    trajectory scores ~= the GT motion magnitude."""
+    import jax
+
+    from benerf_tpu.eval import pose_metrics
+    from benerf_tpu.train import step as step_mod
+    from benerf_tpu.train.loop import rgb_pose_trajectory
+
+    state = step_mod.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+    n = cfg.num_interpolated_pose
+    est = rgb_pose_trajectory(state.params, cfg, scene.rgb_exp_ts, n)
+    gt = gt_pose_samples(scene, cfg, n)
+    r = pose_metrics.rpe(est, gt)
+    out = {
+        "pose_ate_rmse": pose_metrics.ate_rmse(est, gt),
+        "pose_rpe_trans": r["trans_rmse"],
+        "pose_rpe_rot_deg": r["rot_rmse_deg"],
+    }
+    if scene.gt_plane_depth is not None:
+        fl = pose_metrics.reproj_flow_error(
+            est, gt, K, scene.gt_plane_depth, H, W
+        )
+        out["pose_flow_rmse_px"] = fl["flow_rmse_px"]
+        out["gt_flow_rms_px"] = fl["gt_flow_rms_px"]
+    return out
+
+
+def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
+                H: int = 80, W: int = 80, seed: int = 0, **cfg_overrides):
+    """Generate scene -> train -> collect checkpoints. Returns the artifact
+    dict (also the structure written by the CLI)."""
+    from benerf_tpu.data import datasets, synthetic
+    from benerf_tpu.eval import metrics as metrics_mod
+    from benerf_tpu.train.loop import train
+
+    datadir = os.path.join(workdir, "data")
+    logdir = os.path.join(workdir, "logs")
+    if not os.path.exists(os.path.join(datadir, "poses_ts.txt")):
+        synthetic.write_benerf_blender_scene(
+            datadir, H=H, W=W, seed=seed, n_images=1
+        )
+
+    cfg = demo_config(datadir, logdir, iters, evals, H=H, W=W, seed=seed,
+                      **cfg_overrides)
+    scene = datasets.load_scene(datadir, cfg)
+
+    blurry = scene.image[0]
+    sharp = scene.imgtest[0]
+    K = np.array(
+        [[cfg.rgb_fx, 0, cfg.rgb_cx], [0, cfg.rgb_fy, cfg.rgb_cy], [0, 0, 1]]
+    )
+    baseline = {
+        "blurry_input_psnr": metrics_mod.psnr(blurry, sharp),
+        "blurry_input_ssim": metrics_mod.ssim(blurry, sharp),
+        **initial_pose_error(scene, cfg, K, H, W),
+    }
+
+    train(cfg, scene)
+
+    # checkpoints: every periodic_eval record in the JSONL log
+    checkpoints = []
+    log_path = os.path.join(logdir, str(cfg.index), "metrics.jsonl")
+    with open(log_path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "test_mid_psnr" in rec:
+                checkpoints.append({
+                    k: rec[k]
+                    for k in ("step", "test_mid_psnr", "test_mid_ssim",
+                              "test_mid_lpips", "pose_ate_rmse",
+                              "pose_rpe_trans", "pose_rpe_rot_deg",
+                              "pose_flow_rmse_px", "gt_flow_rms_px")
+                    if k in rec
+                })
+
+    final = checkpoints[-1] if checkpoints else {}
+    artifact = {
+        "scene": {"kind": "synthetic_benerf_blender", "H": H, "W": W,
+                  "seed": seed, "iters": iters,
+                  "n_events": int(scene.events.num)},
+        "config": {k: getattr(cfg, k) for k in (
+            "N_samples", "N_importance", "sampling_event_rays",
+            "sampling_rgb_rays", "num_interpolated_pose", "traj",
+            "compute_dtype", "use_pallas")},
+        "baseline": baseline,
+        "checkpoints": checkpoints,
+        "passed": {
+            "deblur_psnr_beats_blurry_input":
+                bool(final.get("test_mid_psnr", -np.inf)
+                     > baseline["blurry_input_psnr"]),
+            # the recovered trajectory must explain the apparent motion
+            # better than the random init (whose error ~= the full motion)
+            "pose_flow_improves":
+                bool(final.get("pose_flow_rmse_px", np.inf)
+                     < baseline.get("pose_flow_rmse_px", np.inf) * 0.75),
+        },
+    }
+    return artifact
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--iters", type=int, default=4000)
+    p.add_argument("--evals", type=int, default=4)
+    p.add_argument("--size", type=int, default=80)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--workdir", type=str, required=True)
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. 'cpu'); default = whatever"
+                        " the environment provides (the TPU plugin overrides"
+                        " JAX_PLATFORMS, so an explicit 'cpu' is the only way"
+                        " to run off-chip)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    artifact = run_quality(args.workdir, iters=args.iters, evals=args.evals,
+                           H=args.size, W=args.size, seed=args.seed,
+                           compute_dtype=args.compute_dtype)
+    text = json.dumps(artifact, indent=2)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+
+
+if __name__ == "__main__":
+    main()

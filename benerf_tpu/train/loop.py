@@ -148,6 +148,15 @@ def periodic_eval(params, cfg, scene, settings_eval, K_render, H_r, W_r,
         r = pose_metrics.rpe(poses, gt_poses)
         results["pose_rpe_trans"] = r["trans_rmse"]
         results["pose_rpe_rot_deg"] = r["rot_rmse_deg"]
+        if scene.gt_plane_depth is not None:
+            # the headline recovery metric: pixel-space motion error of the
+            # recovered trajectory (gauge-fixed at mid-exposure) — see
+            # eval/pose_metrics.reproj_flow_error
+            fl = pose_metrics.reproj_flow_error(
+                poses, gt_poses, K_render, scene.gt_plane_depth, H_r, W_r
+            )
+            results["pose_flow_rmse_px"] = fl["flow_rmse_px"]
+            results["gt_flow_rms_px"] = fl["gt_flow_rms_px"]
     for k, v in results.items():
         logger.write(k, v)
     return imgs, results
@@ -155,6 +164,8 @@ def periodic_eval(params, cfg, scene, settings_eval, K_render, H_r, W_r,
 
 def train(cfg, scene: datasets.SceneData = None):
     """Run a full training; returns the final TrainState."""
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     mesh_mod.initialize_distributed()
     mesh = mesh_mod.make_mesh(cfg.mesh_devices)
 
@@ -226,7 +237,17 @@ def train(cfg, scene: datasets.SceneData = None):
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
         i = start
+        tracing = False
         while i < cfg.max_iter:
+            if (
+                cfg.profile_iter > 0
+                and not tracing
+                and i <= cfg.profile_iter < i + g
+            ):
+                # capture exactly one dispatch (one scan chunk) as an xprof
+                # trace; view with tensorboard or xprof (SURVEY.md §5)
+                jax.profiler.start_trace(cfg.profile_dir)
+                tracing = True
             n = min(g, cfg.max_iter - i)
             if n == g and multi_fn is not None:
                 state, metrics = multi_fn(state, batch, root_key)
@@ -234,6 +255,11 @@ def train(cfg, scene: datasets.SceneData = None):
                 n = 1
                 state, metrics = step_fn(state, batch, root_key)
             i += n
+            if tracing:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                tracing = False
+                print(f"[INFO] wrote profiler trace to {cfg.profile_dir}")
 
             # multi_fn returns stacked per-iteration metrics (leaves shaped
             # (n,)); log one record per iteration so an 80k-iter run yields
@@ -248,6 +274,23 @@ def train(cfg, scene: datasets.SceneData = None):
                 )
             logger.flush()
             last = {k: (v[-1] if v.ndim else v) for k, v in metrics_np.items()}
+
+            # host-side sanity on already-fetched metrics: free, and turns a
+            # silent NaN death at iter 50k into an actionable abort.
+            if not np.isfinite(float(last["loss"])):
+                raise FloatingPointError(
+                    f"non-finite loss at iter {i}: {float(last['loss'])}. "
+                    "Re-run with debug_nans=True to locate the faulting "
+                    "primitive (jax_debug_nans)."
+                )
+            overflow = int(np.max(metrics_np.get("eta_window_overflow", 0)))
+            if overflow > 0:
+                print(
+                    f"[WARN] iter {i}: event window overflowed its static cap"
+                    f" by {overflow} events — the ETA target dropped events;"
+                    " raise event_window_cap (or 0 for the exact full-stream"
+                    " path)."
+                )
 
             if (cfg.console_log_iter > 0 and i % cfg.console_log_iter == 0) or i == cfg.max_iter:
                 dt = time.time() - t_last
