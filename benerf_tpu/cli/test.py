@@ -27,15 +27,30 @@ from benerf_tpu.train.loop import intrinsics
 
 
 def load_params(cfg, logdir):
-    """Checkpoint -> (params, global_step)."""
+    """Checkpoint -> (params, global_step).
+
+    Selection: the requested cfg.checkpoint if that file exists (either our
+    .ckpt.npz or a reference .tar import); otherwise fall back to the latest
+    available checkpoint with a warning (the reference's test.py:96-107 hard
+    errors on a missing step — here partial runs remain inspectable).
+    """
     tar = os.path.join(logdir, f"{cfg.checkpoint:06d}.tar")
     if os.path.exists(tar):
         return _params_from_torch_tar(cfg, tar)
     template = step_mod.init_state(cfg, jax.random.PRNGKey(cfg.seed))
-    state = ckpt_mod.restore(
-        logdir, template,
-        step=cfg.checkpoint if ckpt_mod.latest_step(logdir) else None,
-    )
+    step = None
+    requested = os.path.join(logdir, f"{cfg.checkpoint:06d}.ckpt.npz")
+    if os.path.exists(requested):
+        step = cfg.checkpoint
+    else:
+        latest = ckpt_mod.latest_step(logdir)
+        if latest is not None and latest != cfg.checkpoint:
+            print(
+                f"[WARN] checkpoint {cfg.checkpoint} not found under {logdir};"
+                f" falling back to latest ({latest})"
+            )
+            step = latest
+    state = ckpt_mod.restore(logdir, template, step=step)
     return state.params, int(state.step)
 
 
@@ -56,6 +71,16 @@ def _params_from_torch_tar(cfg, path):
 
     params["knots"] = jnp.asarray(sd["evt_knot_pose_se3.params.weight"])
     params["transform"] = jnp.asarray(sd["transform.params.weight"][0])
+    # CRF tone mappers (component.py:38-149) ride along when present so
+    # optimize_rgb_crf / optimize_event_crf runs import losslessly.
+    if any(k.startswith("rgb_crf.mlp_gray.") for k in sd):
+        params["rgb_crf"] = torch_compat.crf_params_from_state_dict(
+            sd, "rgb_crf.mlp_gray."
+        )
+    if any(k.startswith("event_crf.mlp_luminance.") for k in sd):
+        params["event_crf"] = torch_compat.crf_params_from_state_dict(
+            sd, "event_crf.mlp_luminance."
+        )
     return params, int(ckpt["global_step"])
 
 

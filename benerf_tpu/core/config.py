@@ -158,6 +158,16 @@ class Config:
     # data-parallel mesh size over the ray axis (1 = single chip); -1 = all
     # visible devices.
     mesh_devices: int = -1
+    # NaN diagnostics (SURVEY.md §5: the reference dies silently on NaN).
+    # debug_nans=True flips jax_debug_nans so the faulting primitive is
+    # reported at the cost of per-op checks; the training loop always
+    # finite-guards the loss on the host and aborts with a pointer here.
+    debug_nans: bool = False
+    # profiling (SURVEY.md §5): capture a jax.profiler trace (TensorBoard /
+    # xprof format) of the dispatch that crosses `profile_iter`, written to
+    # profile_dir. 0 = off.
+    profile_iter: int = 0
+    profile_dir: str = "/tmp/benerf_trace"
     # deterministic per-step RNG folding
     log_file: Optional[str] = None
 

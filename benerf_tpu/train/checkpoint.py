@@ -25,11 +25,24 @@ def _ckpt_path(logdir: str, step: int) -> str:
     return os.path.join(logdir, f"{step:06d}.ckpt.npz")
 
 
+def _tree_signature(state) -> str:
+    """Treedef + per-leaf shapes, uniquely identifying the state structure.
+
+    Saved alongside the leaves and checked on restore: loading a checkpoint
+    into a state built with different optimize_* flags (a different optax
+    treedef) would otherwise silently mis-assign arrays positionally.
+    """
+    leaves, treedef = jax.tree.flatten(state)
+    shapes = ";".join(str(tuple(np.shape(x))) for x in leaves)
+    return f"{treedef}|{shapes}"
+
+
 def save(logdir: str, state) -> str:
     os.makedirs(logdir, exist_ok=True)
     leaves, _ = jax.tree.flatten(state)
     step = int(state.step)
     arrays = {f"leaf_{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["tree_signature"] = np.array(_tree_signature(state))
     path = _ckpt_path(logdir, step)
     np.savez_compressed(path, **arrays)
     return path
@@ -54,6 +67,16 @@ def restore(logdir: str, template, step: Optional[int] = None):
             raise FileNotFoundError(f"no checkpoints under {logdir}")
     data = np.load(_ckpt_path(logdir, step))
     t_leaves, treedef = jax.tree.flatten(template)
+    if "tree_signature" in data:
+        saved_sig = str(data["tree_signature"])
+        want_sig = _tree_signature(template)
+        if saved_sig != want_sig:
+            raise ValueError(
+                f"checkpoint structure mismatch for {_ckpt_path(logdir, step)}:"
+                " the saved TrainState treedef/shapes differ from the current"
+                " config's (most often from changed optimize_* flags). Saved:"
+                f"\n  {saved_sig[:300]}...\nexpected:\n  {want_sig[:300]}..."
+            )
     leaves = []
     for i, tmpl in enumerate(t_leaves):
         arr = data[f"leaf_{i:05d}"]
