@@ -183,14 +183,15 @@ def check_case(case, gold, use_pallas, grad_rtol):
         d = np.asarray(desired, np.float64)
         rms = lambda x: float(np.sqrt((x ** 2).mean()))
         rel = rms(a - d) / max(rms(d), 1e-30)
-        assert rel < 3e-2, f"{name}: rel_rms {rel:.2e}"
-        # elementwise: absolute floor scaled by the tensor's gradient RMS —
-        # fp32 rounding through the 8-layer depth is proportional to the
-        # typical gradient magnitude, not the max (measured err_max ~3% of
-        # rms(d) across all cases; the x64 test proves it is rounding)
-        tol = grad_rtol * np.abs(d) + 5e-2 * max(rms(d), 1e-30)
+        # measured fp32 envelope (2026-08, jnp + pallas-interpret, all 3
+        # cases): worst rel_rms 4.2e-3 (real_color nerf_fine l0), worst
+        # max-err 2.5e-2 x rms(d). Bounds sit ~2.5x above that so a real
+        # divergence cannot hide inside rounding noise; the x64 subprocess
+        # test pins the math itself at <=1e-9.
+        assert rel < 1e-2, f"{name}: rel_rms {rel:.2e} (measured max 4.2e-3)"
+        tol = grad_rtol * np.abs(d) + 3e-2 * max(rms(d), 1e-30)
         frac = float((np.abs(a - d) > tol).mean())
-        assert frac < 0.02, f"{name}: {frac:.3%} elements out of tolerance"
+        assert frac < 0.005, f"{name}: {frac:.3%} elements out of tolerance"
 
     # gradients: trajectory (through se3 exp/log + spline), then MLP layers
     close(grads["knots"], g[p + "grad_knots"], "d loss/d knots")
