@@ -101,6 +101,10 @@ class Config:
     decay_rate_rgb_crf: float = 0.1
     decay_rate_event_crf: float = 0.1
     lrate_decay: int = 200
+    # linear 0->pose_lrate warmup steps for the knot/transform groups (new,
+    # no reference counterpart — default 0 keeps reference behavior; guards
+    # the trajectory from untrained-NeRF gradient noise early in training)
+    pose_lrate_warmup: int = 0
 
     # -- camera parameters (config.py:158-186)
     rgb_fx: float = 548.409

@@ -177,8 +177,17 @@ def events_from_frames(frames, t_lo, t_hi, threshold=0.1, eps=1e-9, seed=0):
     return np.concatenate(out, axis=0)
 
 
-def make_trajectory(seed=0, rot_scale=0.02, trans_scale=0.25):
-    """Random smooth se(3) knots [w|u] (the GT trajectory to recover)."""
+def make_trajectory(seed=0, rot_scale=0.05, trans_scale=0.01):
+    """Random smooth se(3) knots [w|u] (the GT trajectory to recover).
+
+    Rotation-dominant by construction: real exposure-time camera shake is
+    fractions of a degree to a few degrees of rotation with millimetre
+    translation. (An earlier version used trans_scale=0.25, which — after
+    the pixel-sweep calibration in `calibrated_trajectory` rescaled it —
+    produced multi-unit translation arcs whose image motion was cancelled
+    by compensating rotation: a screw trajectory no optimizer starting at
+    zero could recover, and no real camera produces.)
+    """
     rng = np.random.default_rng(seed)
     scales = np.array([rot_scale] * 3 + [trans_scale] * 3)
     base = rng.normal(size=(1, 6))
@@ -217,15 +226,20 @@ def _pixel_sweep(knots, K, wall_z, n_images, n_samples=9):
 
 
 def calibrated_trajectory(seed, K, wall_z=-4.0, n_images=1,
-                          target_blur_px=6.0, rot_scale=0.02):
+                          target_blur_px=6.0, rot_scale=0.05,
+                          trans_scale=0.01):
     """Knots rescaled so the worst single-exposure pixel sweep ~ target_blur_px.
 
     Random-walk knot shapes give a different trajectory per seed; rescaling
     the whole se(3) vector (rotation AND translation contribute blur) pins the
     *magnitude* so quality metrics are comparable across seeds. Two fixpoint
     passes converge to ~1% (exp of a scaled tangent is near-linear here).
+    The rot/trans ratio keeps the shake rotation-dominant (see
+    make_trajectory) so the calibrated magnitude stays physically plausible
+    and within optimization reach of the near-zero reference init.
     """
-    knots = make_trajectory(seed, rot_scale=rot_scale, trans_scale=0.25)
+    knots = make_trajectory(seed, rot_scale=rot_scale,
+                            trans_scale=trans_scale)
     for _ in range(2):
         sweep = _pixel_sweep(knots, K, wall_z, n_images)
         if sweep < 1e-9:

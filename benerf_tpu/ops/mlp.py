@@ -69,9 +69,13 @@ def mlp_forward(
         and viewdirs is not None
         and _pallas_available()
     ):
-        from benerf_tpu.ops import fused_mlp
-
-        if fused_mlp.supports(params, pts):
+        # import stays lazy so non-TPU backends never load Pallas
+        try:
+            from benerf_tpu.ops import pallas_mlp
+            ok = pallas_mlp.supports(params, pts)
+        except Exception:
+            ok = False
+        if ok:
             kernel_kw = dict(
                 num_freqs=num_freqs,
                 num_freqs_views=num_freqs_views,
@@ -81,7 +85,7 @@ def mlp_forward(
                 from jax.sharding import PartitionSpec as P
 
                 def kernel(params_, pts_, vd_):
-                    return fused_mlp.fused_nerf_mlp(
+                    return pallas_mlp.fused_nerf_mlp(
                         params_, pts_, vd_, **kernel_kw
                     )
 
@@ -114,7 +118,7 @@ def mlp_forward(
                     )
                 out = sharded(params, pts, viewdirs)
                 return out[:R] if pad else out
-            return fused_mlp.fused_nerf_mlp(params, pts, viewdirs, **kernel_kw)
+            return pallas_mlp.fused_nerf_mlp(params, pts, viewdirs, **kernel_kw)
 
     return nerf_model.apply(
         params,

@@ -45,7 +45,8 @@ def param_labels(params):
     }
 
 
-def _chain(enabled: bool, lr: float, decay_rate: float, decay_steps: int):
+def _chain(enabled: bool, lr: float, decay_rate: float, decay_steps: int,
+           warmup_steps: int = 0):
     if not enabled:
         return optax.set_to_zero()
     schedule = optax.exponential_decay(
@@ -54,6 +55,17 @@ def _chain(enabled: bool, lr: float, decay_rate: float, decay_steps: int):
         decay_rate=decay_rate,
         staircase=False,
     )
+    if warmup_steps > 0:
+        # linear 0 -> lr ramp before the exponential decay: keeps the pose
+        # from being scrambled by untrained-NeRF gradients in the first few
+        # hundred iterations (off by default — the reference has no warmup)
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps),
+             optax.exponential_decay(
+                 init_value=lr, transition_steps=decay_steps,
+                 decay_rate=decay_rate, staircase=False)],
+            boundaries=[warmup_steps],
+        )
     return optax.adam(learning_rate=schedule)  # betas/eps match torch defaults
 
 
@@ -63,11 +75,12 @@ def build_optimizer(cfg):
     transforms = {
         "nerf": _chain(cfg.optimize_nerf, cfg.lrate, cfg.decay_rate, decay_steps),
         "knots": _chain(
-            cfg.optimize_pose, cfg.pose_lrate, cfg.decay_rate_pose, decay_steps
+            cfg.optimize_pose, cfg.pose_lrate, cfg.decay_rate_pose, decay_steps,
+            warmup_steps=cfg.pose_lrate_warmup,
         ),
         "transform": _chain(
             cfg.optimize_trans, cfg.transform_lrate, cfg.decay_rate_transform,
-            decay_steps,
+            decay_steps, warmup_steps=cfg.pose_lrate_warmup,
         ),
         "rgb_crf": _chain(
             cfg.optimize_rgb_crf, cfg.rgb_crf_lrate, cfg.decay_rate_rgb_crf,

@@ -200,3 +200,43 @@ def test_config_text_parsing_types():
     assert vals["rgb_dist"] == [0.0, 0.0, 0.0, 0.0]
     assert vals["dataset"] == "E2NeRF_Real"
     assert "unknown_key" not in vals
+
+
+def test_pose_lrate_warmup_schedule():
+    """pose_lrate_warmup ramps the knot updates from ~0 while leaving the
+    NeRF group and the default (warmup=0) behavior untouched."""
+    import optax
+
+    cfg_w = tiny_cfg("unused", pose_lrate_warmup=100)
+    cfg_0 = tiny_cfg("unused")
+    params = step_mod.build_params(cfg_0, jax.random.PRNGKey(0))
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    def first_update(cfg):
+        tx = optim_mod.build_optimizer(cfg)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        return upd
+
+    u_w = first_update(cfg_w)
+    u_0 = first_update(cfg_0)
+    # step 0 of a 100-step linear warmup: knot lr == 0
+    assert float(jnp.abs(u_w["knots"]).max()) == 0.0
+    assert float(jnp.abs(u_0["knots"]).max()) > 1e-6
+    # the NeRF group is unaffected by pose warmup
+    nerf_w = jax.tree.leaves(u_w["nerf"])[0]
+    nerf_0 = jax.tree.leaves(u_0["nerf"])[0]
+    np.testing.assert_allclose(np.asarray(nerf_w), np.asarray(nerf_0))
+
+    # halfway through warmup the knot lr is ~half the nominal lr
+    tx = optim_mod.build_optimizer(cfg_w)
+    st = tx.init(params)
+    upd = None
+    for _ in range(50):
+        upd, st = tx.update(grads, st, params)
+    tx0 = optim_mod.build_optimizer(cfg_0)
+    st0 = tx0.init(params)
+    upd0 = None
+    for _ in range(50):
+        upd0, st0 = tx0.update(grads, st0, params)
+    ratio = float(jnp.abs(upd["knots"]).max() / jnp.abs(upd0["knots"]).max())
+    assert 0.3 < ratio < 0.7
