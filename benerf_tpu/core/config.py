@@ -101,9 +101,10 @@ class Config:
     decay_rate_rgb_crf: float = 0.1
     decay_rate_event_crf: float = 0.1
     lrate_decay: int = 200
-    # linear 0->pose_lrate warmup steps for the knot/transform groups (new,
-    # no reference counterpart — default 0 keeps reference behavior; guards
-    # the trajectory from untrained-NeRF gradient noise early in training)
+    # linear 0->lr warmup steps applied to BOTH the knot and transform
+    # optimizer groups (new, no reference counterpart — default 0 keeps
+    # reference behavior; guards the trajectory from untrained-NeRF gradient
+    # noise early in training)
     pose_lrate_warmup: int = 0
 
     # -- camera parameters (config.py:158-186)
@@ -174,6 +175,9 @@ class Config:
     profile_dir: str = "/tmp/benerf_trace"
     # deterministic per-step RNG folding
     log_file: Optional[str] = None
+    # diagnostics: log per-loss-term knot gradient norms (extra backward
+    # passes per step — use for short investigative runs only)
+    log_knot_grad_terms: bool = False
 
     def scene_tag(self) -> str:
         return self.expname or self.project or "scene"

@@ -330,4 +330,21 @@ def write_benerf_blender_scene(
         # reprojection-flow pose metric (eval/pose_metrics.reproj_flow_error)
         plane_depth=np.float64(abs(scene.wall_z)),
     )
+    # Provenance sidecar: the generator parameters that define the GT scene.
+    # Earlier rounds changed trajectory defaults silently, making committed
+    # artifacts irreproducible; quality artifacts now embed this block.
+    import json
+
+    with open(os.path.join(outdir, "scene_meta.json"), "w") as f:
+        json.dump(
+            {
+                "scene_format_version": 2,
+                "seed": seed, "H": H, "W": W, "focal": focal,
+                "n_images": n_images, "n_virtual": n_virtual,
+                "event_threshold": threshold,
+                "target_blur_px": target_blur_px,
+                "n_events": int(len(events)),
+            },
+            f, indent=1,
+        )
     return gt

@@ -23,8 +23,26 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
 
 import numpy as np
+
+
+def _fresh_run_dir(root: str) -> str:
+    """First unused `run-NNN` subdirectory of `root`.
+
+    Every training gets its own logdir so metrics.jsonl (opened append-mode
+    by JsonlLogger) can never mix records from two runs — re-running with the
+    same workdir previously contaminated the harvested checkpoints.
+    """
+    os.makedirs(root, exist_ok=True)
+    n = 0
+    while True:
+        cand = os.path.join(root, f"run-{n:03d}")
+        if not os.path.exists(cand):
+            os.makedirs(cand)
+            return cand
+        n += 1
 
 
 def demo_config(datadir: str, logdir: str, iters: int, evals: int = 4,
@@ -103,18 +121,23 @@ def initial_pose_error(scene, cfg, K, H, W) -> dict:
 
 
 def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
-                H: int = 80, W: int = 80, seed: int = 0, **cfg_overrides):
+                H: int = 80, W: int = 80, seed: int = 0,
+                init_from_gt: float = None, **cfg_overrides):
     """Generate scene -> train -> collect checkpoints. Returns the artifact
     dict (also the structure written by the CLI)."""
     from benerf_tpu.data import datasets, synthetic
     from benerf_tpu.eval import metrics as metrics_mod
     from benerf_tpu.train.loop import train
 
+    t_start = time.time()
     datadir = os.path.join(workdir, "data")
-    logdir = os.path.join(workdir, "logs")
+    logdir = _fresh_run_dir(os.path.join(workdir, "logs"))
     if not os.path.exists(os.path.join(datadir, "poses_ts.txt")):
         synthetic.write_benerf_blender_scene(
-            datadir, H=H, W=W, seed=seed, n_images=1
+            datadir, H=H, W=W, seed=seed, n_images=1,
+            **{k: cfg_overrides.pop(k) for k in
+               ("target_blur_px", "threshold", "n_virtual")
+               if k in cfg_overrides},
         )
 
     cfg = demo_config(datadir, logdir, iters, evals, H=H, W=W, seed=seed,
@@ -132,7 +155,19 @@ def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
         **initial_pose_error(scene, cfg, K, H, W),
     }
 
-    train(cfg, scene)
+    init_knots = None
+    if init_from_gt is not None:
+        # diagnostic: start the spline at the GT knots (init_from_gt == 0)
+        # or at GT + relative perturbation (convergence-basin probe)
+        g = np.load(os.path.join(datadir, "gt_trajectory.npz"))
+        init_knots = np.asarray(g["knots"], np.float32)
+        if init_from_gt > 0:
+            rng_ = np.random.default_rng(12345)
+            init_knots = init_knots + rng_.normal(
+                scale=init_from_gt, size=init_knots.shape
+            ).astype(np.float32) * np.abs(init_knots).mean()
+
+    train(cfg, scene, init_knots=init_knots)
 
     # checkpoints: every periodic_eval record in the JSONL log
     checkpoints = []
@@ -151,14 +186,24 @@ def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
                 })
 
     final = checkpoints[-1] if checkpoints else {}
+    scene_block = {"kind": "synthetic_benerf_blender", "H": H, "W": W,
+                   "seed": seed, "iters": iters,
+                   "n_events": int(scene.events.num)}
+    meta_path = os.path.join(datadir, "scene_meta.json")
+    if os.path.exists(meta_path):  # generator provenance (blur calibration,
+        with open(meta_path) as f:  # trajectory scales, format version)
+            scene_block["generator"] = json.load(f)
     artifact = {
-        "scene": {"kind": "synthetic_benerf_blender", "H": H, "W": W,
-                  "seed": seed, "iters": iters,
-                  "n_events": int(scene.events.num)},
-        "config": {k: getattr(cfg, k) for k in (
-            "N_samples", "N_importance", "sampling_event_rays",
-            "sampling_rgb_rays", "num_interpolated_pose", "traj",
-            "compute_dtype", "use_pallas")},
+        "scene": scene_block,
+        "config": {
+            **{k: getattr(cfg, k) for k in (
+                "N_samples", "N_importance", "sampling_event_rays",
+                "sampling_rgb_rays", "num_interpolated_pose", "traj",
+                "compute_dtype", "use_pallas", "pose_lrate_warmup")},
+            # None = reference random init; 0.0 = GT init; >0 = perturbed GT
+            # (diagnostic runs — NOT recovery evidence)
+            "init_from_gt": init_from_gt,
+        },
         "baseline": baseline,
         "checkpoints": checkpoints,
         "passed": {
@@ -171,8 +216,17 @@ def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
                 bool(final.get("pose_flow_rmse_px", np.inf)
                      < baseline.get("pose_flow_rmse_px", np.inf) * 0.75),
         },
+        "run_dir": logdir,
+        "wall_s": round(time.time() - t_start, 1),
+        "platform": jax_platform(),
     }
     return artifact
+
+
+def jax_platform() -> str:
+    import jax
+
+    return jax.devices()[0].platform
 
 
 def main(argv=None):
@@ -186,6 +240,10 @@ def main(argv=None):
     p.add_argument("--workdir", type=str, required=True)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--target_blur_px", type=float, default=None,
+                   help="scene generator blur calibration (px of worst-case "
+                        "image sweep per exposure); default = generator's")
+    p.add_argument("--pose_lrate_warmup", type=int, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. 'cpu'); default = whatever"
                         " the environment provides (the TPU plugin overrides"
@@ -201,9 +259,14 @@ def main(argv=None):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    extra = {}
+    if args.target_blur_px is not None:
+        extra["target_blur_px"] = args.target_blur_px
+    if args.pose_lrate_warmup is not None:
+        extra["pose_lrate_warmup"] = args.pose_lrate_warmup
     artifact = run_quality(args.workdir, iters=args.iters, evals=args.evals,
                            H=args.size, W=args.size, seed=args.seed,
-                           compute_dtype=args.compute_dtype)
+                           compute_dtype=args.compute_dtype, **extra)
     text = json.dumps(artifact, indent=2)
     print(text)
     if args.out:

@@ -162,8 +162,14 @@ def periodic_eval(params, cfg, scene, settings_eval, K_render, H_r, W_r,
     return imgs, results
 
 
-def train(cfg, scene: datasets.SceneData = None):
-    """Run a full training; returns the final TrainState."""
+def train(cfg, scene: datasets.SceneData = None, init_knots=None):
+    """Run a full training; returns the final TrainState.
+
+    init_knots: optional (4,6) se(3) knot override for the trajectory init
+    (diagnostics: start at/near the GT trajectory to probe whether it is a
+    fixed point of the joint optimization). Default = reference init
+    (U(0,0.01), model/optimize.py:22-24) or scene.ev_poses under loadpose.
+    """
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     mesh_mod.initialize_distributed()
@@ -188,9 +194,11 @@ def train(cfg, scene: datasets.SceneData = None):
     batch = make_batch(scene, cfg, K_rgb, K_evt, img_remap, evt_remap)
 
     tx = optim_mod.build_optimizer(cfg)
+    if init_knots is None and cfg.loadpose:
+        init_knots = scene.ev_poses
     state = step_mod.init_state(
         cfg, jax.random.PRNGKey(cfg.seed), tx=tx,
-        init_knots=scene.ev_poses if cfg.loadpose else None,
+        init_knots=init_knots,
         init_transform=scene.trans if cfg.loadtrans else None,
     )
     if cfg.load_checkpoint and ckpt_mod.latest_step(logdir) is not None:

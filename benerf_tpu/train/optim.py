@@ -58,12 +58,11 @@ def _chain(enabled: bool, lr: float, decay_rate: float, decay_steps: int,
     if warmup_steps > 0:
         # linear 0 -> lr ramp before the exponential decay: keeps the pose
         # from being scrambled by untrained-NeRF gradients in the first few
-        # hundred iterations (off by default — the reference has no warmup)
+        # hundred iterations (off by default — the reference has no warmup).
+        # Applies to BOTH the knot and transform groups (build_optimizer
+        # passes pose_lrate_warmup to each).
         schedule = optax.join_schedules(
-            [optax.linear_schedule(0.0, lr, warmup_steps),
-             optax.exponential_decay(
-                 init_value=lr, transition_steps=decay_steps,
-                 decay_rate=decay_rate, staircase=False)],
+            [optax.linear_schedule(0.0, lr, warmup_steps), schedule],
             boundaries=[warmup_steps],
         )
     return optax.adam(learning_rate=schedule)  # betas/eps match torch defaults

@@ -310,9 +310,35 @@ def _make_step_body(cfg, H: int, W: int, mesh=None, tx=None):
 
     def body(state: TrainState, batch: SceneBatch, root_key):
         keys = rng_mod.step_keys(root_key, state.step)
+        draws = draw_fn(keys)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, draw_fn(keys), state.step
+            state.params, batch, draws, state.step
         )
+        # joint-recovery observability: how hard each collection is being
+        # pushed. The knot norm is the leading indicator of whether the
+        # trajectory is receiving usable signal (VERDICT r3: pose recovery
+        # failed with no committed gradient evidence).
+        metrics["grad_norm_knots"] = jnp.linalg.norm(grads["knots"])
+        metrics["grad_norm_nerf"] = optax.global_norm(
+            {"c": grads["nerf"], "f": grads["nerf_fine"]}
+        )
+        if getattr(cfg, "log_knot_grad_terms", False):
+            # per-loss-term knot gradients (extra backward passes; diagnostics
+            # only): which loss is actually steering the spline?
+            def term(params_knots, name):
+                p = dict(state.params)
+                p["knots"] = params_knots
+                _, m = loss_fn(p, batch, draws, state.step)
+                return m[name]
+
+            if cfg.event_loss:
+                metrics["knot_grad_event"] = jnp.linalg.norm(
+                    jax.grad(term)(state.params["knots"], "event_loss")
+                )
+            if cfg.rgb_loss:
+                metrics["knot_grad_rgb"] = jnp.linalg.norm(
+                    jax.grad(term)(state.params["knots"], "rgb_loss")
+                )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics

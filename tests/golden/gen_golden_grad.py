@@ -179,7 +179,12 @@ def run_case(torch, name, args, data, rng, f64=False):
     data[p + "K_rgb"] = K_rgb
     data[p + "K_evt"] = K_evt
 
-    # --- model with recorded parameters -----------------------------------
+    # --- model with synthesized parameters ---------------------------------
+    # NeRF weights come from the shared deterministic generator (param_gen),
+    # NOT the fixture: they are inputs both sides can reconstruct, and
+    # storing 6 cases x 2 MLPs was 40 MB of the fixture.
+    import param_gen
+
     torch.manual_seed(11)
     model = optimize.Model(args)
     graph = model.build_network(args)
@@ -193,8 +198,10 @@ def run_case(torch, name, args, data, rng, f64=False):
     data[p + "knots"] = knots
     data[p + "transform"] = trans
     for net, tag in ((graph.nerf, "nerf"), (graph.nerf_fine, "nerf_fine")):
-        for k, v in net.state_dict().items():
-            data[f"{p}{tag}::{k}"] = v.numpy().copy()
+        sd = param_gen.nerf_state_dict(name, tag, args.channels, f64=f64)
+        net.load_state_dict(
+            {k: torch.tensor(v, dtype=dd) for k, v in sd.items()}
+        )
     if args.optimize_rgb_crf:
         for k, v in graph.rgb_crf.mlp_gray.state_dict().items():
             data[f"{p}rgb_crf::{k}"] = v.numpy().copy()

@@ -240,3 +240,40 @@ def test_pose_lrate_warmup_schedule():
         upd0, st0 = tx0.update(grads, st0, params)
     ratio = float(jnp.abs(upd["knots"]).max() / jnp.abs(upd0["knots"]).max())
     assert 0.3 < ratio < 0.7
+
+
+def test_quality_harness_run_isolation(tmp_path):
+    """Two quality runs in the same workdir must not contaminate each other:
+    each gets a fresh run-NNN logdir and harvests only its own checkpoints
+    (round-3 integrity bug: JsonlLogger appends, quality.py read it all)."""
+    from benerf_tpu.eval import quality
+
+    kw = dict(
+        iters=2, evals=1, H=24, W=24, seed=0,
+        sampling_event_rays=16, sampling_rgb_rays=15,
+        num_interpolated_pose=3, N_samples=8, N_importance=8,
+        use_pallas=False, console_log_iter=1,
+    )
+    a1 = quality.run_quality(str(tmp_path), **kw)
+    a2 = quality.run_quality(str(tmp_path), **kw)
+    assert a1["run_dir"] != a2["run_dir"]
+    # each artifact harvests exactly its own eval records (1 eval per run)
+    assert len(a1["checkpoints"]) == 1
+    assert len(a2["checkpoints"]) == 1
+    assert a1["wall_s"] > 0 and a1["platform"]
+    assert a1["scene"]["generator"]["scene_format_version"] >= 2
+
+
+def test_grad_norm_metrics(loaded):
+    """Per-collection grad norms and per-loss-term knot grads are logged."""
+    cfg, scene = loaded
+    cfg2 = tiny_cfg(cfg.datadir, log_knot_grad_terms=True)
+    batch = _batch(cfg2, scene)
+    H, W = scene.image.shape[1:3]
+    state = step_mod.init_state(cfg2, jax.random.PRNGKey(0))
+    fn = step_mod.make_train_step(cfg2, H, W)
+    _, m = fn(state, batch, jax.random.PRNGKey(1))
+    for k in ("grad_norm_knots", "grad_norm_nerf",
+              "knot_grad_event", "knot_grad_rgb"):
+        assert np.isfinite(float(m[k])), k
+    assert float(m["grad_norm_nerf"]) > 0

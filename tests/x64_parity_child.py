@@ -70,10 +70,18 @@ def run_case(g, case):
     def sub(prefix):
         return {k[len(prefix):]: g[k] for k in g.files if k.startswith(prefix)}
 
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent / "golden"))
+    import param_gen
+
     params = {
-        "nerf": torch_compat.nerf_params_from_state_dict(sub(p + "nerf::")),
+        "nerf": torch_compat.nerf_params_from_state_dict(
+            param_gen.nerf_state_dict(case, "nerf", c["channels"], f64=True)
+        ),
         "nerf_fine": torch_compat.nerf_params_from_state_dict(
-            sub(p + "nerf_fine::")
+            param_gen.nerf_state_dict(case, "nerf_fine", c["channels"],
+                                      f64=True)
         ),
         "knots": jnp.asarray(g[p + "knots"], jnp.float64),
         "transform": jnp.asarray(g[p + "transform"][0], jnp.float64),

@@ -1,0 +1,150 @@
+"""Pose-recovery diagnostic sweep (VERDICT r3 task 1 instrumentation).
+
+Round 3 showed deblurring works but the recovered spline explains ~2% of the
+GT motion. Loss+grad parity to the torch reference is test-verified, so this
+sweep maps WHERE the optimization fails on the synthetic testbed:
+
+  A  baseline scene (blur 6px)      — reproduce the r3 failure w/ grad logs
+  B  more-identifiable scene (15px) — is 6px of motion below the event-
+                                      quantization identifiability floor?
+  C  event-loss only (blur 6)       — does the event loss alone steer knots?
+  D  rgb-loss only (blur 6)         — or is the blur loss the only driver?
+  E  blur 15 + 500-iter pose warmup — let the NeRF form before steering
+  F  init AT the GT knots (blur 6)  — is GT a fixed point? If the optimizer
+                                      WALKS AWAY from the true trajectory,
+                                      a convention/sign error exists; if it
+                                      stays, recovery is a basin problem.
+  G  init near GT (30% perturbed)   — how wide is the convergence basin?
+
+Each variant = a short quality-harness run (fresh run-dir, grad-norm metrics
+on). One process, one TPU claim; variants share compiled graphs where shapes
+match. Writes DIAG_r04.json progressively.
+
+Run: python tools/pose_diag.py --iters 2000 --out DIAG_r04.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+VARIANTS = [
+    dict(name="A_baseline_blur6", blur=6.0),
+    dict(name="B_blur15", blur=15.0),
+    dict(name="C_event_only_blur6", blur=6.0, overrides={"rgb_loss": False}),
+    dict(name="D_rgb_only_blur6", blur=6.0, overrides={"event_loss": False}),
+    dict(name="E_blur15_warmup", blur=15.0,
+         overrides={"pose_lrate_warmup": 500}),
+    dict(name="F_gt_init_blur6", blur=6.0, init_from_gt=0.0),
+    dict(name="G_gt_perturbed_blur6", blur=6.0, init_from_gt=0.3),
+]
+
+
+def grad_stats(run_dir, index=0):
+    """Mean per-loss-term knot grad norms over the logged iterations."""
+    path = os.path.join(run_dir, str(index), "metrics.jsonl")
+    cols = {"train_knot_grad_event": [], "train_knot_grad_rgb": [],
+            "train_grad_norm_knots": [], "train_grad_norm_nerf": []}
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            for k in cols:
+                if k in rec:
+                    cols[k].append(rec[k])
+    out = {}
+    for k, v in cols.items():
+        if v:
+            a = np.asarray(v)
+            out[k.replace("train_", "") + "_mean"] = float(a.mean())
+            out[k.replace("train_", "") + "_first100"] = float(a[:100].mean())
+            out[k.replace("train_", "") + "_last100"] = float(a[-100:].mean())
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=2000)
+    p.add_argument("--evals", type=int, default=4)
+    p.add_argument("--size", type=int, default=80)
+    p.add_argument("--workdir", default="/tmp/pose_diag")
+    p.add_argument("--out", default="DIAG_r04.json")
+    p.add_argument("--only", default=None,
+                   help="comma-separated variant name prefixes to run")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu' for smoke tests)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from benerf_tpu.eval import quality
+
+    out_path = (args.out if os.path.isabs(args.out)
+                else os.path.join(REPO, args.out))
+    results = {"platform": quality.jax_platform(), "iters": args.iters,
+               "size": args.size, "variants": []}
+
+    for v in VARIANTS:
+        if args.only and not any(
+            v["name"].startswith(s) for s in args.only.split(",")
+        ):
+            continue
+        t0 = time.time()
+        wd = os.path.join(args.workdir, f"blur{v['blur']:g}")
+        overrides = dict(v.get("overrides", {}))
+        overrides.setdefault("log_knot_grad_terms", True)
+        overrides.setdefault("event_window_cap", 4096)
+        print(f"\n=== variant {v['name']} ===", flush=True)
+        art = quality.run_quality(
+            wd, iters=args.iters, evals=args.evals,
+            H=args.size, W=args.size, seed=0,
+            init_from_gt=v.get("init_from_gt"),
+            target_blur_px=v["blur"],
+            **overrides,
+        )
+        final = art["checkpoints"][-1] if art["checkpoints"] else {}
+        summary = {
+            "name": v["name"],
+            "target_blur_px": v["blur"],
+            "init_from_gt": v.get("init_from_gt"),
+            "overrides": v.get("overrides", {}),
+            "n_events": art["scene"]["n_events"],
+            "baseline_flow_px": art["baseline"].get("pose_flow_rmse_px"),
+            "gt_flow_rms_px": art["baseline"].get("gt_flow_rms_px"),
+            "flow_curve": [
+                {"step": c["step"], "flow_px": c.get("pose_flow_rmse_px"),
+                 "ate": c.get("pose_ate_rmse"), "psnr": c.get("test_mid_psnr")}
+                for c in art["checkpoints"]
+            ],
+            "final_flow_px": final.get("pose_flow_rmse_px"),
+            "final_psnr": final.get("test_mid_psnr"),
+            "blurry_input_psnr": art["baseline"]["blurry_input_psnr"],
+            "pose_flow_improves": art["passed"]["pose_flow_improves"],
+            "grad": grad_stats(art["run_dir"]),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        results["variants"].append(summary)
+        print(json.dumps(summary, indent=1), flush=True)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+    print(f"\nwrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
