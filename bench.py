@@ -76,7 +76,8 @@ def _setup_jax(platform=None):
     return jax
 
 
-def run_step_bench(cfg, H, W, mesh=None, inner=25, chunks=4, n_events=1_000_000):
+def run_step_bench(cfg, H, W, mesh=None, inner=25, chunks=4, n_events=1_000_000,
+                   profile_dir=None):
     """Compile the (multi-)step and time it; returns (rays/s, dt/iter)."""
     import dataclasses
 
@@ -113,6 +114,13 @@ def run_step_bench(cfg, H, W, mesh=None, inner=25, chunks=4, n_events=1_000_000)
     with ctx:
         state, metrics = fn(state, batch, key)  # warmup/compile
         jax.block_until_ready(metrics["loss"])
+        if profile_dir:
+            # capture one steady-state dispatch (inner iterations) as an
+            # xprof trace; summarize with tools/trace_top_ops.py
+            jax.profiler.start_trace(profile_dir)
+            state, metrics = fn(state, batch, key)
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
         t0 = time.perf_counter()
         for _ in range(chunks):
             state, metrics = fn(state, batch, key)
@@ -135,6 +143,9 @@ def main():
                         " JAX_PLATFORMS env)")
     p.add_argument("--inner", type=int, default=25)
     p.add_argument("--chunks", type=int, default=4)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture an xprof trace of one steady-state dispatch"
+                        " into DIR (analyze with tools/trace_top_ops.py)")
     args = p.parse_args()
 
     jax = _setup_jax(args.platform)
@@ -153,10 +164,12 @@ def main():
 
         mesh = mesh_mod.make_mesh(args.mesh)
         rays_s, dt = run_step_bench(cfg, H, W, mesh=mesh,
-                                    inner=args.inner, chunks=args.chunks)
+                                    inner=args.inner, chunks=args.chunks,
+                                    profile_dir=args.profile)
     else:
         rays_s, dt = run_step_bench(cfg, H, W, inner=args.inner,
-                                    chunks=args.chunks)
+                                    chunks=args.chunks,
+                                    profile_dir=args.profile)
 
     flops = workload_flops_per_iter(cfg)
     tflops = flops / dt / 1e12

@@ -132,12 +132,14 @@ def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
     t_start = time.time()
     datadir = os.path.join(workdir, "data")
     logdir = _fresh_run_dir(os.path.join(workdir, "logs"))
+    # scene-generator params must leave cfg_overrides even when the scene
+    # already exists on disk (they are not Config fields)
+    scene_kw = {k: cfg_overrides.pop(k) for k in
+                ("target_blur_px", "threshold", "n_virtual")
+                if k in cfg_overrides}
     if not os.path.exists(os.path.join(datadir, "poses_ts.txt")):
         synthetic.write_benerf_blender_scene(
-            datadir, H=H, W=W, seed=seed, n_images=1,
-            **{k: cfg_overrides.pop(k) for k in
-               ("target_blur_px", "threshold", "n_virtual")
-               if k in cfg_overrides},
+            datadir, H=H, W=W, seed=seed, n_images=1, **scene_kw,
         )
 
     cfg = demo_config(datadir, logdir, iters, evals, H=H, W=W, seed=seed,

@@ -35,6 +35,11 @@ from benerf_tpu.models import embedder
 TILE = 512         # points per grid step; S must divide TILE
 BWD_TILE = 256     # backward rematerializes 8 activations per tile; 512
                    # overflows the 16MB VMEM budget by ~2KB on v5e
+# bfloat16 mode stores the PE/view-bias HBM tiles and the rematerialized
+# trunk activations in bf16: half the streamed bytes and half the stashed
+# VMEM, so both tiles double.
+TILE_BF16 = 1024
+BWD_TILE_BF16 = 512
 INTERPRET = False  # set True (tests) to run kernels in interpreter mode
 IN_PAD = 64        # 63-channel PE padded to 64 lanes
 HEAD = 128         # head-space lanes
@@ -44,7 +49,14 @@ SKIP_LAYER = 5     # trunk layer index consuming (pe, h) split weights
 
 
 def supports(params, pts) -> bool:
-    """Structural predicate: standard BeNeRF architecture + divisible tiles."""
+    """Structural predicate: standard BeNeRF architecture.
+
+    No constraint on S: the kernel is pointwise (the per-ray view bias is
+    expanded per point before the call), points are flattened to (R*S) and
+    padded to the tile size. An earlier TILE % S == 0 requirement (vestige
+    of a per-ray vb block layout) silently routed the FINE pass — S = 192,
+    two thirds of the step FLOPs — to the bandwidth-bound jnp fallback.
+    """
     try:
         if "views" not in params or len(params["pts"]) != DEPTH:
             return False
@@ -53,9 +65,6 @@ def supports(params, pts) -> bool:
         if "w_pe" not in params["pts"][SKIP_LAYER]:
             return False
         if params["views"]["w_feat"].shape != (WIDTH, HEAD):
-            return False
-        S = pts.shape[-2]
-        if TILE % S != 0:
             return False
         channels = params["rgb"]["w"].shape[1]
         if channels + 1 > HEAD:
@@ -119,17 +128,22 @@ def _trunk_forward(pe, vb_exp, w0, wh, w5pe, b, wa, wf, bf, wfv, wrgb, hb,
                        preferred_element_type=jnp.float32,
                        precision=precision)
 
+    # bf16 mode stashes the rematerialized activations in bf16 — they feed
+    # straight back into bf16 MXU passes, and halving them is what lets the
+    # backward tile double (BWD_TILE_BF16)
+    store = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+
     acts = [] if keep_acts else None
     h = jnp.maximum(mm(pe, w0) + b[0], 0.0)
     if keep_acts:
-        acts.append(h)
+        acts.append(h.astype(store))
     for l in range(1, DEPTH):
         t = mm(h, wh[l - 1]) + b[l]
         if l == SKIP_LAYER:
             t = t + mm(pe, w5pe)
         h = jnp.maximum(t, 0.0)
         if keep_acts:
-            acts.append(h)
+            acts.append(h.astype(store))
     av = mm(h, wa) + hb          # (T,128) col C = alpha (+ rgb-bias junk cols)
     f = mm(h, wf) + bf           # (T,256)
     hv = jnp.maximum(mm(f, wfv) + vb_exp, 0.0)  # (T,128)
@@ -222,8 +236,8 @@ def _bwd_kernel(S, C, dtype, pe_ref, vb_ref, w0_ref, wh_ref, w5pe_ref, b_ref,
     dwrgb_ref[:] += mm_tn(hv, g_rgb)
     # views layer
     dhv_pre = dhv * (hv > 0)
-    dvb_ref[:] = dhv_pre  # per-point; per-ray sum happens via the outer
-    # broadcast's autodiff in fused_nerf_mlp
+    dvb_ref[:] = dhv_pre.astype(dvb_ref.dtype)  # per-point; per-ray sum
+    # happens via the outer broadcast's autodiff in fused_nerf_mlp
     df = mm_nt(dhv_pre, wfv_ref[:])
     dwfv_ref[:] += mm_tn(f, dhv_pre)
     # feature + alpha heads
@@ -248,7 +262,7 @@ def _bwd_kernel(S, C, dtype, pe_ref, vb_ref, w0_ref, wh_ref, w5pe_ref, b_ref,
             if l == SKIP_LAYER:
                 dw5pe_ref[:] += mm_tn(pe, dpre)
                 dpe = dpe + mm_nt(dpre, w5pe_ref[:])
-    dpe_ref[:] = dpe
+    dpe_ref[:] = dpe.astype(dpe_ref.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -261,21 +275,27 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _fwd_call(pe, vb, packed, S: int, C: int, dtype):
+def _tiles(dtype_name: str):
+    if dtype_name == "bfloat16":
+        return TILE_BF16, BWD_TILE_BF16
+    return TILE, BWD_TILE
+
+
+def _fwd_call(pe, vb, packed, S: int, C: int, dtype, tile: int):
     n = pe.shape[0]
-    grid = n // TILE
+    grid = n // tile
     w_specs = [_const_spec(w.shape) for w in packed]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, S, C, dtype),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE, IN_PAD), lambda i: (i, 0),
+            pl.BlockSpec((tile, IN_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, HEAD), lambda i: (i, 0),
+            pl.BlockSpec((tile, HEAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((TILE, C + 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, C + 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, C + 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -291,30 +311,31 @@ def _fwd_call(pe, vb, packed, S: int, C: int, dtype):
     )(pe, vb, *packed)
 
 
-def _bwd_call(pe, vb, packed, g, S: int, C: int, dtype):
+def _bwd_call(pe, vb, packed, g, S: int, C: int, dtype, bwd_tile: int):
     n = pe.shape[0]
-    grid = n // BWD_TILE
+    grid = n // bwd_tile
     w_specs = [_const_spec(w.shape) for w in packed]
     out_shapes = (
-        jax.ShapeDtypeStruct(pe.shape, jnp.float32),    # dpe
-        jax.ShapeDtypeStruct(vb.shape, jnp.float32),    # dvb (per point)
+        # cotangents must match the primal dtypes (bf16 staging mode)
+        jax.ShapeDtypeStruct(pe.shape, pe.dtype),       # dpe
+        jax.ShapeDtypeStruct(vb.shape, vb.dtype),       # dvb (per point)
         *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed],
     )
     out_specs = (
-        pl.BlockSpec((BWD_TILE, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BWD_TILE, HEAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bwd_tile, IN_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bwd_tile, HEAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
         *[_const_spec(w.shape) for w in packed],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, S, C, dtype),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((BWD_TILE, IN_PAD), lambda i: (i, 0),
+            pl.BlockSpec((bwd_tile, IN_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BWD_TILE, HEAD), lambda i: (i, 0),
+            pl.BlockSpec((bwd_tile, HEAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
-            pl.BlockSpec((BWD_TILE, C + 1), lambda i: (i, 0),
+            pl.BlockSpec((bwd_tile, C + 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -326,15 +347,19 @@ def _bwd_call(pe, vb, packed, g, S: int, C: int, dtype):
     )(pe, vb, *packed, g)
 
 
+def _resolve_dtype(dtype_name):
+    if dtype_name == "bfloat16":
+        return jnp.bfloat16
+    if dtype_name == "float32_highest":
+        return "float32_highest"
+    return jnp.float32
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _core(pe, vb, packed, S, C, dtype_name):
-    if dtype_name == "bfloat16":
-        dtype = jnp.bfloat16
-    elif dtype_name == "float32_highest":
-        dtype = "float32_highest"
-    else:
-        dtype = jnp.float32
-    return _fwd_call(pe, vb, packed, S, C, dtype)
+    fwd_tile, _ = _tiles(dtype_name)
+    return _fwd_call(pe, vb, packed, S, C, _resolve_dtype(dtype_name),
+                     fwd_tile)
 
 
 def _core_fwd(pe, vb, packed, S, C, dtype_name):
@@ -343,13 +368,9 @@ def _core_fwd(pe, vb, packed, S, C, dtype_name):
 
 def _core_bwd(S, C, dtype_name, res, g):
     pe, vb, packed = res
-    if dtype_name == "bfloat16":
-        dtype = jnp.bfloat16
-    elif dtype_name == "float32_highest":
-        dtype = "float32_highest"
-    else:
-        dtype = jnp.float32
-    outs = _bwd_call(pe, vb, packed, g, S, C, dtype)
+    _, bwd_tile = _tiles(dtype_name)
+    outs = _bwd_call(pe, vb, packed, g, S, C, _resolve_dtype(dtype_name),
+                     bwd_tile)
     dpe, dvb = outs[0], outs[1]
     dpacked = tuple(outs[2:])
     return dpe, dvb, dpacked
@@ -376,10 +397,21 @@ def fused_nerf_mlp(params, pts, viewdirs, *, num_freqs=10, num_freqs_views=4,
     pe = embedder.positional_encoding(pts.reshape(n, 3), num_freqs)
     pe = jnp.pad(pe, ((0, 0), (0, IN_PAD - 63)))
 
-    n_pad = (-n) % TILE
+    # backward tiles are the finer granularity; pad to the coarser fwd tile
+    # (bwd tile always divides it)
+    fwd_tile, _ = _tiles(compute_dtype)
+    n_pad = (-n) % fwd_tile
     if n_pad:
         pe = jnp.pad(pe, ((0, n_pad), (0, 0)))
         vb = jnp.pad(vb, ((0, n_pad), (0, 0)))
+
+    if compute_dtype == "bfloat16":
+        # bf16 HBM staging: the pe/vb tiles are the kernel's only streamed
+        # inputs — halving them halves the kernel's HBM traffic. The MXU
+        # consumes bf16 either way (Precision.DEFAULT); accumulation stays
+        # f32 and the cast's VJP upcasts dpe/dvb back to f32.
+        pe = pe.astype(jnp.bfloat16)
+        vb = vb.astype(jnp.bfloat16)
 
     packed = pack_params(params)
     raw = _core(pe, vb, packed, S, C, compute_dtype)

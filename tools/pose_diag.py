@@ -44,6 +44,17 @@ VARIANTS = [
          overrides={"pose_lrate_warmup": 500}),
     dict(name="F_gt_init_blur6", blur=6.0, init_from_gt=0.0),
     dict(name="G_gt_perturbed_blur6", blur=6.0, init_from_gt=0.3),
+    # round-2 of the investigation: basin radius + escape strategies.
+    # F/G proved GT is a strong attractor (flow 1.8 -> 0.14 px, +4 dB PSNR)
+    # while every random init falls into the NeRF-absorption minimum; these
+    # measure how wide the basin is and whether BARF coarse-to-fine (the
+    # canonical basin-widening trick, present-but-unused in the reference:
+    # model/nerf.py:16-26) or a stronger event term escape from zero.
+    dict(name="I_gt_perturbed60", blur=6.0, init_from_gt=0.6),
+    dict(name="J_gt_perturbed100", blur=6.0, init_from_gt=1.0),
+    dict(name="H_barf_blur6", blur=6.0, overrides={"use_barf_c2f": True}),
+    dict(name="K_event_coeff1_blur6", blur=6.0,
+         overrides={"event_coeff_syn": 1.0}),
 ]
 
 
@@ -98,6 +109,12 @@ def main():
                 else os.path.join(REPO, args.out))
     results = {"platform": quality.jax_platform(), "iters": args.iters,
                "size": args.size, "variants": []}
+    if os.path.exists(out_path):  # resume: keep earlier variants' results
+        with open(out_path) as f:
+            prior = json.load(f)
+        results["variants"] = [
+            v for v in prior.get("variants", [])
+        ]
 
     for v in VARIANTS:
         if args.only and not any(
@@ -138,7 +155,9 @@ def main():
             "grad": grad_stats(art["run_dir"]),
             "wall_s": round(time.time() - t0, 1),
         }
-        results["variants"].append(summary)
+        results["variants"] = [
+            v2 for v2 in results["variants"] if v2["name"] != summary["name"]
+        ] + [summary]
         print(json.dumps(summary, indent=1), flush=True)
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
