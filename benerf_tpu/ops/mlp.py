@@ -23,9 +23,10 @@ def force_interpret(enable: bool = True) -> None:
     the CPU mesh this way)."""
     global _FORCE_INTERPRET
     _FORCE_INTERPRET = enable
-    from benerf_tpu.ops import pallas_mlp
+    from benerf_tpu.ops import pallas_mlp, pallas_mlp_t
 
     pallas_mlp.INTERPRET = enable
+    pallas_mlp_t.INTERPRET = enable
 
 
 def _pallas_available() -> bool:
@@ -69,10 +70,18 @@ def mlp_forward(
         and viewdirs is not None
         and _pallas_available()
     ):
-        # import stays lazy so non-TPU backends never load Pallas
+        # import stays lazy so non-TPU backends never load Pallas.
+        # Preference order: transposed fully-fused kernel (PE + view branch
+        # in-kernel, compact (8,n) IO — see pallas_mlp_t.py) > original
+        # staged kernel > pure jnp.
         try:
-            from benerf_tpu.ops import pallas_mlp
-            ok = pallas_mlp.supports(params, pts)
+            from benerf_tpu.ops import pallas_mlp, pallas_mlp_t
+            if (pallas_mlp_t.supports(params, pts)
+                    and num_freqs == 10 and num_freqs_views == 4):
+                pallas_mlp = pallas_mlp_t
+                ok = True
+            else:
+                ok = pallas_mlp.supports(params, pts)
         except Exception:
             ok = False
         if ok:

@@ -250,7 +250,9 @@ def _bwd_kernel(S, C, dtype, pe_ref, vb_ref, w0_ref, wh_ref, w5pe_ref, b_ref,
     # trunk backward
     dpe = jnp.zeros((T, IN_PAD), jnp.float32)
     for l in range(DEPTH - 1, -1, -1):
-        dpre = dh * (acts[l] > 0)
+        # ReLU mask in f32: this TPU target's Mosaic rejects arith.cmpf on
+        # bf16 vectors ("Target does not support this comparison")
+        dpre = dh * (acts[l].astype(jnp.float32) > 0)
         db_ref[l, :] += jnp.sum(dpre, axis=0)
         prev = pe if l == 0 else acts[l - 1]
         if l == 0:

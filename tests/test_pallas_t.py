@@ -1,0 +1,91 @@
+"""Transposed fully-fused Pallas kernel (PE + view branch + MLP in-kernel)
+vs the pure-jnp path — interpreter mode on CPU; compiles on TPU (bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from benerf_tpu.models import nerf as nerf_mod
+from benerf_tpu.ops import pallas_mlp_t
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pallas_mlp_t.INTERPRET = True
+    yield
+    pallas_mlp_t.INTERPRET = False
+
+
+def _inputs(R=16, S=64, channels=3, seed=0):
+    params = nerf_mod.init_params(jax.random.PRNGKey(seed), channels=channels)
+    pts = jax.random.normal(jax.random.PRNGKey(seed + 1), (R, S, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(seed + 2), (R, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return params, pts, dirs
+
+
+def test_supports_predicate():
+    params, pts, _ = _inputs()
+    assert pallas_mlp_t.supports(params, pts)
+    no_views = {k: v for k, v in params.items() if k != "views"}
+    assert not pallas_mlp_t.supports(no_views, pts)
+
+
+@pytest.mark.parametrize("channels", [3, 1])
+@pytest.mark.parametrize("S", [64, 128, 192])
+def test_forward_matches_jnp(channels, S):
+    params, pts, dirs = _inputs(R=7, S=S, channels=channels)
+    out_t = pallas_mlp_t.fused_nerf_mlp(params, pts, dirs)
+    out_j = nerf_mod.apply(params, pts, dirs)
+    assert out_t.shape == out_j.shape == (7, S, channels + 1)
+    assert np.allclose(out_t, out_j, atol=2e-4), (
+        np.abs(np.asarray(out_t) - np.asarray(out_j)).max()
+    )
+
+
+def test_gradients_match_jnp():
+    params, pts, dirs = _inputs(R=8)
+
+    def loss_t(p, x, d):
+        return jnp.sum(jnp.sin(pallas_mlp_t.fused_nerf_mlp(p, x, d)))
+
+    def loss_j(p, x, d):
+        return jnp.sum(jnp.sin(nerf_mod.apply(p, x, d)))
+
+    gt = jax.grad(loss_t, argnums=(0, 1, 2))(params, pts, dirs)
+    gj = jax.grad(loss_j, argnums=(0, 1, 2))(params, pts, dirs)
+    for a, b in zip(jax.tree.leaves(gt), jax.tree.leaves(gj)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        assert np.allclose(a, b, atol=5e-4 * max(scale, 1.0)), (
+            f"grad mismatch: {np.abs(np.asarray(a) - np.asarray(b)).max()} "
+            f"vs scale {scale}"
+        )
+
+
+def test_bfloat16_mode():
+    params, pts, dirs = _inputs(R=8)
+    out_f32 = pallas_mlp_t.fused_nerf_mlp(params, pts, dirs)
+    out_bf16 = pallas_mlp_t.fused_nerf_mlp(params, pts, dirs,
+                                           compute_dtype="bfloat16")
+    assert out_bf16.dtype == jnp.float32
+    scale = np.abs(np.asarray(out_f32)).max()
+    assert np.allclose(out_f32, out_bf16, atol=2e-2 * scale)
+    assert not np.array_equal(np.asarray(out_f32), np.asarray(out_bf16))
+
+    def loss(p, x, d):
+        return jnp.sum(
+            pallas_mlp_t.fused_nerf_mlp(p, x, d, compute_dtype="bfloat16")
+        )
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(params, pts, dirs)
+    for leaf in jax.tree.leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_padding_nondivisible():
+    # R*S = 5*64 = 320, far from a TILE multiple
+    params, pts, dirs = _inputs(R=5)
+    out_t = pallas_mlp_t.fused_nerf_mlp(params, pts, dirs)
+    out_j = nerf_mod.apply(params, pts, dirs)
+    assert np.allclose(out_t, out_j, atol=2e-4)
