@@ -178,6 +178,12 @@ class Config:
     # diagnostics: log per-loss-term knot gradient norms (extra backward
     # passes per step — use for short investigative runs only)
     log_knot_grad_terms: bool = False
+    # trajectory init: "reference" = U(0,0.01) knots (model/optimize.py:22),
+    # "motion_scale" = random knots rescaled to the apparent-motion
+    # magnitude estimated from the event stream + blurry image
+    # (train/pose_init.py — documented deviation; the near-zero reference
+    # init cannot escape the absorption minimum, ANALYSIS_pose_recovery.md)
+    pose_init: str = "reference"
 
     def scene_tag(self) -> str:
         return self.expname or self.project or "scene"

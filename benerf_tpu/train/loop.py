@@ -196,6 +196,12 @@ def train(cfg, scene: datasets.SceneData = None, init_knots=None):
     tx = optim_mod.build_optimizer(cfg)
     if init_knots is None and cfg.loadpose:
         init_knots = scene.ev_poses
+    if init_knots is None and cfg.pose_init == "motion_scale":
+        from benerf_tpu.train import pose_init as pose_init_mod
+
+        init_knots, d_px = pose_init_mod.initial_knots(cfg, scene)
+        print(f"[INFO] motion-scale pose init: estimated apparent motion "
+              f"{d_px:.2f}px -> knot rms {np.abs(init_knots).mean():.4f}")
     state = step_mod.init_state(
         cfg, jax.random.PRNGKey(cfg.seed), tx=tx,
         init_knots=init_knots,

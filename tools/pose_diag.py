@@ -55,6 +55,14 @@ VARIANTS = [
     dict(name="H_barf_blur6", blur=6.0, overrides={"use_barf_c2f": True}),
     dict(name="K_event_coeff1_blur6", blur=6.0,
          overrides={"event_coeff_syn": 1.0}),
+    # round-3 of the investigation: J (right scale, direction 100% noised)
+    # converged -> scale is the binding constraint. L pushes the noise to
+    # 250% (direction essentially independent of GT); M is the deployable
+    # GT-free method: random knots calibrated to the apparent-motion scale
+    # estimated from events + blurry image (train/pose_init.py).
+    dict(name="L_gt_perturbed250", blur=6.0, init_from_gt=2.5),
+    dict(name="M_motion_scale_init", blur=6.0,
+         overrides={"pose_init": "motion_scale"}),
 ]
 
 
