@@ -76,31 +76,37 @@ def supports(params, pts) -> bool:
 
 
 def pack_params_t(params):
-    """-> tuple of transposed, MXU/sublane-aligned arrays (differentiable)."""
+    """-> tuple of MXU/sublane-aligned arrays (differentiable).
+
+    Weights stay in their NATURAL (fan_in, fan_out) orientation — the
+    kernel contracts over dim 0 (dot_general handles either side on the
+    MXU), so packing is pads/stacks only. Pre-transposing here made XLA
+    insert a per-call layout copy of every weight matrix inside the scan
+    body (the dominant residual in the r04b trace)."""
     p = params
-    w0 = jnp.pad(p["pts"][0]["w"], ((0, PE_PAD - 63), (0, 0))).T  # (256,64)
+    w0 = jnp.pad(p["pts"][0]["w"], ((0, PE_PAD - 63), (0, 0)))  # (64,256)
     w5pe = jnp.pad(
         p["pts"][SKIP_LAYER]["w_pe"], ((0, PE_PAD - 63), (0, 0))
-    ).T  # (256,64)
+    )  # (64,256)
     wh = jnp.stack(
         [
-            (p["pts"][l]["w_h"] if l == SKIP_LAYER else p["pts"][l]["w"]).T
+            p["pts"][l]["w_h"] if l == SKIP_LAYER else p["pts"][l]["w"]
             for l in range(1, DEPTH)
         ]
-    )  # (7,256,256) each (out,in)
+    )  # (7,256,256) each (in,out)
     b = jnp.stack(
         [p["pts"][l]["b"] for l in range(DEPTH)]
     )[..., None]  # (8,256,1)
 
     C = p["rgb"]["w"].shape[1]
-    # head space on sublanes: rows 0..C-1 rgb, row C alpha
-    wa = jnp.zeros((HEAD, WIDTH)).at[C : C + 1, :].set(p["alpha"]["w"].T)
-    wf = p["feature"]["w"].T                   # (256,256)
+    # head space: columns map to output rows 0..C-1 rgb, C alpha
+    wa = jnp.zeros((WIDTH, HEAD)).at[:, C : C + 1].set(p["alpha"]["w"])
+    wf = p["feature"]["w"]                     # (256,256)
     bf = p["feature"]["b"][:, None]            # (256,1)
-    wfv = p["views"]["w_feat"].T               # (128,256)
-    wvpe = jnp.pad(p["views"]["w_pe"], ((0, VPE_PAD - 27), (0, 0))).T
+    wfv = p["views"]["w_feat"]                 # (256,128)
+    wvpe = jnp.pad(p["views"]["w_pe"], ((0, VPE_PAD - 27), (0, 0)))
     bv = p["views"]["b"][:, None]              # (128,1)
-    wrgb = jnp.zeros((HEAD, HEAD)).at[:C, :].set(p["rgb"]["w"].T)
+    wrgb = jnp.zeros((HEAD, HEAD)).at[:, :C].set(p["rgb"]["w"])
     hb = (
         jnp.zeros((HEAD, 1))
         .at[:C, 0].set(p["rgb"]["b"])
@@ -140,10 +146,10 @@ def _trunk_forward_t(pv, w0, wh, w5pe, b, wa, wf, bf, wfv, wvpe, bv, wrgb,
     if dtype == "float32_highest":
         dtype = jnp.float32
 
-    def mm(w, a):  # (O, I) @ (I, T) -> (O, T), f32 accumulation
+    def mm(w, a):  # w (I, O) natural, a (I, T) -> (O, T), f32 accumulation
         return jax.lax.dot_general(
             w.astype(dtype), a.astype(dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
 
@@ -218,16 +224,16 @@ def _bwd_kernel_t(C, dtype, pv_ref, *refs):
                  else jax.lax.Precision.DEFAULT)
     cdt = jnp.float32 if dtype == "float32_highest" else dtype
 
-    def mm_tn(w, g):  # w (O, I) transposed-apply: (I, T) = w^T @ g(O, T)
+    def mm_tn(w, g):  # w (I, O) natural: (I, T) = w @ g(O, T) over O
         return jax.lax.dot_general(
             w.astype(cdt), g.astype(cdt),
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    def outer(g, a):  # dW (O, I) = g (O, T) @ a (I, T)^T
+    def outer(a, g):  # dW (I, O) natural = a (I, T) @ g (O, T)^T
         return jax.lax.dot_general(
-            g.astype(cdt), a.astype(cdt),
+            a.astype(cdt), g.astype(cdt),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
@@ -241,22 +247,22 @@ def _bwd_kernel_t(C, dtype, pv_ref, *refs):
 
     # rgb head
     dhv = mm_tn(wrgb, g_rgb)
-    dwrgb_ref[:] += outer(g_rgb, hv)
+    dwrgb_ref[:] += outer(hv, g_rgb)
     # views layer
     dhv_pre = dhv * (hv > 0)
     df = mm_tn(wfv, dhv_pre)
-    dwfv_ref[:] += outer(dhv_pre, f)
+    dwfv_ref[:] += outer(f, dhv_pre)
     # view bias branch
     dvb = dhv_pre                                          # (128, T)
-    dwvpe_ref[:] += outer(dvb, vpe)
+    dwvpe_ref[:] += outer(vpe, dvb)
     dbv_ref[:] += jnp.sum(dvb, axis=1, keepdims=True)
     dvpe = mm_tn(wvpe, dvb)                                # (32, T)
     # feature + alpha heads
     dh = mm_tn(wf, df) + mm_tn(wa, g_alpha)
     h7 = acts[DEPTH - 1]
-    dwf_ref[:] += outer(df, h7)
+    dwf_ref[:] += outer(h7, df)
     dbf_ref[:] += jnp.sum(df, axis=1, keepdims=True)
-    dwa_ref[:] += outer(g_alpha, h7)
+    dwa_ref[:] += outer(h7, g_alpha)
     dhb_ref[:] += jnp.sum(g_alpha + g_rgb, axis=1, keepdims=True)
 
     # trunk backward
@@ -265,13 +271,13 @@ def _bwd_kernel_t(C, dtype, pv_ref, *refs):
         dpre = dh * (acts[l].astype(jnp.float32) > 0)
         db_ref[l] += jnp.sum(dpre, axis=1, keepdims=True)
         if l == 0:
-            dw0_ref[:] += outer(dpre, pe)
+            dw0_ref[:] += outer(pe, dpre)
             dpe = dpe + mm_tn(w0, dpre)
         else:
-            dwh_ref[l - 1] += outer(dpre, acts[l - 1])
+            dwh_ref[l - 1] += outer(acts[l - 1], dpre)
             dh = mm_tn(wh[l - 1], dpre)
             if l == SKIP_LAYER:
-                dw5pe_ref[:] += outer(dpre, pe)
+                dw5pe_ref[:] += outer(pe, dpre)
                 dpe = dpe + mm_tn(w5pe, dpre)
 
     # through the encodings back to xyz / viewdir rows
