@@ -178,6 +178,11 @@ class Config:
     # diagnostics: log per-loss-term knot gradient norms (extra backward
     # passes per step — use for short investigative runs only)
     log_knot_grad_terms: bool = False
+    # ray subset sampling: True = approx_max_k over random keys (TPU-native,
+    # stratified-flavor subset); False = exact uniform permutation slice
+    # (reference randperm semantics, model/nerf.py:214 — a full sort of
+    # H*W keys per sensor per iteration)
+    fast_ray_sampling: bool = True
     # trajectory init: "reference" = U(0,0.01) knots (model/optimize.py:22),
     # "motion_scale" = random knots rescaled to the apparent-motion
     # magnitude estimated from the event stream + blurry image

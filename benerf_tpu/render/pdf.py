@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 
 
-def sample_pdf(bins, weights, n_samples: int, key=None, u=None):
+def sample_pdf(bins, weights, n_samples: int, key=None, u=None,
+               sorted_draws: bool = False):
     """Draw n_samples per ray from the histogram defined by (bins, weights).
 
     Args:
@@ -23,6 +24,12 @@ def sample_pdf(bins, weights, n_samples: int, key=None, u=None):
         deterministic linspace grid (det=True path, run_nerf_helpers.py:82-84).
       u: optional (..., n_samples) explicit uniforms (for golden-value tests,
         mirroring the reference's pytest hook, run_nerf_helpers.py:88-97).
+      sorted_draws: draw the uniforms as ORDER STATISTICS (normalized
+        exponential spacings) so the returned samples are ascending per ray.
+        The sample SET is identical in law to iid uniforms (the reference
+        consumes it as a set: concat + sort, model/nerf.py:319-327), and a
+        pre-sorted output lets the caller replace that O(S log^2 S) sort
+        with a linear merge (render/renderer.py).
     Returns: (..., n_samples) sample positions.
     """
     weights = weights + 1e-5
@@ -34,6 +41,16 @@ def sample_pdf(bins, weights, n_samples: int, key=None, u=None):
         if key is None:
             u = jnp.linspace(0.0, 1.0, n_samples)
             u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+        elif sorted_draws:
+            # u_(1..n) = (S_1/S_{n+1}, ..., S_n/S_{n+1}), S_k partial sums
+            # of iid Exp(1): exactly the ascending order statistics of n
+            # iid U(0,1) draws. CDF inversion is monotone, so the output
+            # inherits the ordering.
+            e = -jnp.log1p(
+                -jax.random.uniform(key, cdf.shape[:-1] + (n_samples + 1,))
+            )
+            c = jnp.cumsum(e, axis=-1)
+            u = c[..., :-1] / c[..., -1:]
         else:
             u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
@@ -65,3 +82,36 @@ def sample_pdf(bins, weights, n_samples: int, key=None, u=None):
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     t = (u - cdf_below) / denom
     return bins_below + t * (bins_above - bins_below)
+
+
+def merge_sorted(a, b):
+    """Merge two per-ray ASCENDING arrays: (..., S1), (..., S2) -> (..., S1+S2).
+
+    Replaces sort(concat(z_vals, z_samples)) on the fine-sampling path
+    (reference model/nerf.py:319-327): both inputs are already sorted
+    (stratified z is monotone by construction; sample_pdf(sorted_draws=True)
+    returns ascending samples), so each element's output position is its own
+    index plus its rank in the other array — two dense compare-sums — and
+    the scatter is two exact one-hot MXU matmuls instead of an
+    O(S log^2 S) sort network. Ties break a-before-b, giving a valid
+    permutation. Inputs are treated as constants on the gradient path
+    (callers stop_gradient z; z_vals carries no parameters).
+    """
+    S1, S2 = a.shape[-1], b.shape[-1]
+    M = S1 + S2
+    cnt_a = jnp.sum(
+        (b[..., None, :] < a[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    pos_a = jnp.arange(S1) + cnt_a
+    cnt_b = jnp.sum(
+        (a[..., None, :] <= b[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    pos_b = jnp.arange(S2) + cnt_b
+    iota = jnp.arange(M)
+    oh_a = (pos_a[..., :, None] == iota).astype(a.dtype)
+    oh_b = (pos_b[..., :, None] == iota).astype(b.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    return (
+        jnp.einsum("...sm,...s->...m", oh_a, a, precision=hi)
+        + jnp.einsum("...sm,...s->...m", oh_b, b, precision=hi)
+    )

@@ -158,12 +158,23 @@ def render_rays(
 
     if settings.n_importance > 0:
         z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        injected_u = keys.get("pdf_u")
         z_samples = pdfm.sample_pdf(
             z_mid, coarse["weights"][..., 1:-1], settings.n_importance,
-            key=keys.get("pdf"), u=keys.get("pdf_u"),
+            key=keys.get("pdf"), u=injected_u,
+            sorted_draws=injected_u is None,
         )
         z_samples = jax.lax.stop_gradient(z_samples)  # model/nerf.py:324
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        if injected_u is None:
+            # z_vals monotone by construction, z_samples ascending
+            # (order-statistic draws): linear merge instead of a sort
+            # network. Injected-draw (golden parity) paths keep the
+            # reference's sort semantics verbatim.
+            z_all = pdfm.merge_sorted(z_vals, z_samples)
+        else:
+            z_all = jnp.sort(
+                jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1
+            )
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
 
         raw_fine = run_mlp(nerf_fine_params, pts, viewdirs)

@@ -174,6 +174,22 @@ def make_loss_fn(cfg, H: int, W: int, shard=None, mesh=None):
         def shard(x):
             return x
 
+    def rand_subset(key, n, k):
+        """k distinct pixel indices out of n.
+
+        fast path: top-k of iid uniform keys via the TPU-optimized
+        approx_max_k — a stratified-flavor random subset (each index's
+        marginal inclusion ~ k/n; the bin structure adds slight spatial
+        stratification, if anything improving ray coverage) at a fraction
+        of the cost of the reference-equivalent full permutation
+        (torch.randperm, model/nerf.py:214 — a 240k-element sort per
+        sensor per iteration at production resolutions).
+        """
+        if cfg.fast_ray_sampling:
+            _, idx = jax.lax.approx_max_k(jax.random.uniform(key, (n,)), k)
+            return idx
+        return jax.random.permutation(key, n)[:k]
+
     def draw_fn(keys):
         draws = {}
         if cfg.event_time_window:
@@ -185,10 +201,10 @@ def make_loss_fn(cfg, H: int, W: int, shard=None, mesh=None):
         else:
             draws["window_key"] = keys["window"]
         draws["ray_idx_evt"] = shard(
-            jax.random.permutation(keys["ray_evt"], hw_evt)[:n_evt_rays]
+            rand_subset(keys["ray_evt"], hw_evt, n_evt_rays)
         )
         draws["ray_idx_rgb"] = shard(
-            jax.random.permutation(keys["ray_rgb"], hw_rgb)[:n_rgb_rays]
+            rand_subset(keys["ray_rgb"], hw_rgb, n_rgb_rays)
         )
         draws["keys_evt"] = {
             "z": keys["z_evt"], "pdf": keys["pdf_evt"],

@@ -140,3 +140,59 @@ def test_renderer_grads_flow_to_pose():
 
     g = jax.grad(loss)(0.3)
     assert np.isfinite(g)
+
+
+def test_merge_sorted_equals_sort():
+    """merge_sorted == sort(concat) for sorted inputs, including ties."""
+    from benerf_tpu.render import pdf as pdfm
+
+    key = jax.random.PRNGKey(3)
+    a = jnp.sort(jax.random.uniform(key, (17, 64)), axis=-1)
+    b = jnp.sort(jax.random.uniform(jax.random.PRNGKey(4), (17, 64)), axis=-1)
+    merged = pdfm.merge_sorted(a, b)
+    ref = jnp.sort(jnp.concatenate([a, b], axis=-1), axis=-1)
+    np.testing.assert_array_equal(np.asarray(merged), np.asarray(ref))
+    # exact ties across the two arrays
+    a2 = jnp.asarray([[0.0, 0.5, 0.5, 1.0]])
+    b2 = jnp.asarray([[0.5, 0.5, 2.0]])
+    np.testing.assert_array_equal(
+        np.asarray(pdfm.merge_sorted(a2, b2)),
+        np.asarray(jnp.sort(jnp.concatenate([a2, b2], -1), -1)),
+    )
+
+
+def test_sample_pdf_sorted_draws():
+    """sorted_draws returns ascending samples whose distribution matches the
+    iid path (same histogram over many draws)."""
+    from benerf_tpu.render import pdf as pdfm
+
+    bins = jnp.linspace(0.0, 1.0, 17)[None].repeat(256, 0)
+    w = jax.random.uniform(jax.random.PRNGKey(0), (256, 16)) + 0.1
+    s_sorted = pdfm.sample_pdf(bins, w, 64, key=jax.random.PRNGKey(1),
+                               sorted_draws=True)
+    s_iid = pdfm.sample_pdf(bins, w, 64, key=jax.random.PRNGKey(2))
+    assert np.all(np.diff(np.asarray(s_sorted), axis=-1) >= 0)
+    h1, _ = np.histogram(np.asarray(s_sorted), bins=20, range=(0, 1))
+    h2, _ = np.histogram(np.asarray(s_iid), bins=20, range=(0, 1))
+    n = s_iid.size
+    # chi-square-ish closeness of the two empirical distributions
+    rel = np.abs(h1 - h2) / np.maximum(np.sqrt(h1 + h2), 1)
+    assert np.max(rel) < 6.0, (h1, h2)
+
+
+def test_fast_ray_sampling_subset():
+    """approx_max_k subset: k distinct in-range indices, roughly uniform."""
+    import jax.lax as lax
+
+    n, k = 40000, 1024
+    counts = np.zeros(n)
+    for seed in range(5):
+        keys = jax.random.uniform(jax.random.PRNGKey(seed), (n,))
+        _, idx = lax.approx_max_k(keys, k)
+        idx = np.asarray(idx)
+        assert len(np.unique(idx)) == k
+        assert idx.min() >= 0 and idx.max() < n
+        counts[idx] += 1
+    # no index should be systematically excluded or hugely favored
+    assert counts.max() <= 5
+    assert (counts > 0).sum() > 3 * k  # spread across many indices
