@@ -64,16 +64,11 @@ def mlp_forward(
 
     cd = None if compute_dtype == "float32" else jnp.bfloat16
 
-    if (
-        use_pallas
-        and barf_weights is None
-        and viewdirs is not None
-        and _pallas_available()
-    ):
+    if use_pallas and viewdirs is not None and _pallas_available():
         # import stays lazy so non-TPU backends never load Pallas.
         # Preference order: transposed fully-fused kernel (PE + view branch
-        # in-kernel, compact (8,n) IO — see pallas_mlp_t.py) > original
-        # staged kernel > pure jnp.
+        # in-kernel, compact (8,n) IO, BARF band weights supported — see
+        # pallas_mlp_t.py) > original staged kernel (no BARF) > pure jnp.
         try:
             from benerf_tpu.ops import pallas_mlp, pallas_mlp_t
             if (pallas_mlp_t.supports(params, pts)
@@ -81,7 +76,8 @@ def mlp_forward(
                 pallas_mlp = pallas_mlp_t
                 ok = True
             else:
-                ok = pallas_mlp.supports(params, pts)
+                ok = (barf_weights is None
+                      and pallas_mlp.supports(params, pts))
         except Exception:
             ok = False
         if ok:
@@ -90,6 +86,11 @@ def mlp_forward(
                 num_freqs_views=num_freqs_views,
                 compute_dtype=compute_dtype,
             )
+            if pallas_mlp is pallas_mlp_t:
+                kernel_kw.update(
+                    barf_weights=barf_weights,
+                    barf_weights_views=barf_weights_views,
+                )
             if mesh is not None and pts.ndim == 3:
                 from jax.sharding import PartitionSpec as P
 

@@ -115,6 +115,25 @@ def pack_params_t(params):
     return (w0, wh, w5pe, b, wa, wf, bf, wfv, wvpe, bv, wrgb, hb)
 
 
+def band_row_weights(weights, L, n_dims=3, pad=None):
+    """(L,) per-frequency weights -> (pad, 1) PE row multipliers.
+
+    Row layout follows _encode_T: [identity x3, (sin,cos) x3 per freq].
+    Identity rows weigh 1; padding rows 0. weights=None -> all-ones (the
+    kernel multiplies unconditionally so BARF on/off shares one graph).
+    """
+    C_rows = n_dims * (2 * L + 1)
+    pad = pad or C_rows
+    if weights is None:
+        w = jnp.ones((C_rows,))
+    else:
+        w = jnp.concatenate(
+            [jnp.ones((n_dims,)),
+             jnp.repeat(jnp.asarray(weights), 2 * n_dims)]
+        )
+    return jnp.pad(w, (0, pad - C_rows))[:, None]
+
+
 def _encode_T(x3, L):
     """(3, T) -> (3*(2L+1), T) positional encoding, embedder row order
     [x, sin(f0 x), cos(f0 x), sin(f1 x), ...] with fk = 2**k."""
@@ -138,9 +157,12 @@ def _encode_bwd_T(x3, d_enc, L):
     return dx
 
 
-def _trunk_forward_t(pv, w0, wh, w5pe, b, wa, wf, bf, wfv, wvpe, bv, wrgb,
-                     hb, dtype, keep):
-    """Shared fwd math on one (8, T) tile, everything transposed."""
+def _trunk_forward_t(pv, pw, vw, w0, wh, w5pe, b, wa, wf, bf, wfv, wvpe, bv,
+                     wrgb, hb, dtype, keep):
+    """Shared fwd math on one (8, T) tile, everything transposed.
+
+    pw (PE_PAD,1) / vw (VPE_PAD,1): per-row encoding multipliers (BARF
+    coarse-to-fine band weights; all-ones when BARF is off)."""
     precision = (jax.lax.Precision.HIGHEST if dtype == "float32_highest"
                  else jax.lax.Precision.DEFAULT)
     if dtype == "float32_highest":
@@ -160,10 +182,12 @@ def _trunk_forward_t(pv, w0, wh, w5pe, b, wa, wf, bf, wfv, wvpe, bv, wrgb,
     vd = pv[3:6]
     pe = _encode_T(xyz, L_PTS)                       # (63, T)
     pe = jnp.concatenate([pe, jnp.zeros((PE_PAD - 63, T), pe.dtype)], axis=0)
+    pe = pe * pw
     vpe = _encode_T(vd, L_VIEWS)                     # (27, T)
     vpe = jnp.concatenate(
         [vpe, jnp.zeros((VPE_PAD - 27, T), vpe.dtype)], axis=0
     )
+    vpe = vpe * vw
 
     acts = [] if keep else None
     h = jnp.maximum(mm(w0, pe) + b[0], 0.0)          # (256, T)
@@ -187,12 +211,12 @@ def _trunk_forward_t(pv, w0, wh, w5pe, b, wa, wf, bf, wfv, wvpe, bv, wrgb,
 
 def _fwd_kernel_t(C, dtype, pv_ref, *refs):
     (w0_ref, wh_ref, w5pe_ref, b_ref, wa_ref, wf_ref, bf_ref, wfv_ref,
-     wvpe_ref, bv_ref, wrgb_ref, hb_ref, out_ref) = refs
+     wvpe_ref, bv_ref, wrgb_ref, hb_ref, pw_ref, vw_ref, out_ref) = refs
     pv = pv_ref[:]
     _, _, av, _, _, rv, row, _, _ = _trunk_forward_t(
-        pv, w0_ref[:], wh_ref[:], w5pe_ref[:], b_ref[:], wa_ref[:],
-        wf_ref[:], bf_ref[:], wfv_ref[:], wvpe_ref[:], bv_ref[:],
-        wrgb_ref[:], hb_ref[:], dtype, keep=False,
+        pv, pw_ref[:], vw_ref[:], w0_ref[:], wh_ref[:], w5pe_ref[:],
+        b_ref[:], wa_ref[:], wf_ref[:], bf_ref[:], wfv_ref[:], wvpe_ref[:],
+        bv_ref[:], wrgb_ref[:], hb_ref[:], dtype, keep=False,
     )
     combined = jnp.where(row < C, rv, 0.0) + jnp.where(row == C, av, 0.0)
     out_ref[:] = combined[:IN_ROWS]
@@ -200,22 +224,27 @@ def _fwd_kernel_t(C, dtype, pv_ref, *refs):
 
 def _bwd_kernel_t(C, dtype, pv_ref, *refs):
     (w0_ref, wh_ref, w5pe_ref, b_ref, wa_ref, wf_ref, bf_ref, wfv_ref,
-     wvpe_ref, bv_ref, wrgb_ref, hb_ref, g_ref,
+     wvpe_ref, bv_ref, wrgb_ref, hb_ref, pw_ref, vw_ref, g_ref,
      dpv_ref, dw0_ref, dwh_ref, dw5pe_ref, db_ref, dwa_ref, dwf_ref,
-     dbf_ref, dwfv_ref, dwvpe_ref, dbv_ref, dwrgb_ref, dhb_ref) = refs
+     dbf_ref, dwfv_ref, dwvpe_ref, dbv_ref, dwrgb_ref, dhb_ref,
+     dpw_ref, dvw_ref) = refs
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for r in (dw0_ref, dwh_ref, dw5pe_ref, db_ref, dwa_ref, dwf_ref,
-                  dbf_ref, dwfv_ref, dwvpe_ref, dbv_ref, dwrgb_ref, dhb_ref):
+                  dbf_ref, dwfv_ref, dwvpe_ref, dbv_ref, dwrgb_ref, dhb_ref,
+                  dpw_ref, dvw_ref):
+            # dpw/dvw stay zero: the band weights are step functions of the
+            # iteration counter, not trainables
             r[:] = jnp.zeros_like(r)
 
     pv = pv_ref[:]
+    pw, vw = pw_ref[:], vw_ref[:]
     w0, wh, w5pe = w0_ref[:], wh_ref[:], w5pe_ref[:]
     wa, wf, wfv = wa_ref[:], wf_ref[:], wfv_ref[:]
     wvpe, wrgb = wvpe_ref[:], wrgb_ref[:]
     pe, vpe, av, f, hv, rv, row, acts, mm = _trunk_forward_t(
-        pv, w0, wh, w5pe, b_ref[:], wa, wf, bf_ref[:], wfv, wvpe,
+        pv, pw, vw, w0, wh, w5pe, b_ref[:], wa, wf, bf_ref[:], wfv, wvpe,
         bv_ref[:], wrgb, hb_ref[:], dtype, keep=True,
     )
     T = pv.shape[1]
@@ -280,9 +309,10 @@ def _bwd_kernel_t(C, dtype, pv_ref, *refs):
                 dw5pe_ref[:] += outer(pe, dpre)
                 dpe = dpe + mm_tn(w5pe, dpre)
 
-    # through the encodings back to xyz / viewdir rows
-    dxyz = _encode_bwd_T(pv[0:3], dpe[:63], L_PTS)
-    dvd = _encode_bwd_T(pv[3:6], dvpe[:27], L_VIEWS)
+    # through the encodings back to xyz / viewdir rows (pe/vpe consumed by
+    # the matmuls are the band-weighted versions: chain the row weights in)
+    dxyz = _encode_bwd_T(pv[0:3], (dpe * pw)[:63], L_PTS)
+    dvd = _encode_bwd_T(pv[3:6], (dvpe * vw)[:27], L_VIEWS)
     dpv_ref[:] = jnp.concatenate(
         [dxyz, dvd, jnp.zeros((IN_ROWS - 6, T), jnp.float32)], axis=0
     )
@@ -380,9 +410,11 @@ _core.defvjp(_core_fwd, _core_bwd)
 
 
 def fused_nerf_mlp(params, pts, viewdirs, *, num_freqs=10, num_freqs_views=4,
-                   compute_dtype="float32"):
+                   compute_dtype="float32", barf_weights=None,
+                   barf_weights_views=None):
     """Drop-in replacement for models.nerf.apply (standard architecture,
-    viewdirs on, no BARF). pts: (R, S, 3); viewdirs: (R, 3)."""
+    viewdirs on; optional BARF band weights). pts: (R, S, 3);
+    viewdirs: (R, 3)."""
     assert num_freqs == L_PTS and num_freqs_views == L_VIEWS
     R, S, _ = pts.shape
     C = params["rgb"]["w"].shape[1]
@@ -400,6 +432,8 @@ def fused_nerf_mlp(params, pts, viewdirs, *, num_freqs=10, num_freqs_views=4,
     if n_pad:
         pv = jnp.pad(pv, ((0, 0), (0, n_pad)))
 
-    packed = pack_params_t(params)
+    pw = band_row_weights(barf_weights, L_PTS, pad=PE_PAD)
+    vw = band_row_weights(barf_weights_views, L_VIEWS, pad=VPE_PAD)
+    packed = pack_params_t(params) + (pw, vw)
     out_T = _core(pv, packed, C, compute_dtype)      # (8, n_padded)
     return out_T[: C + 1, :n].T.reshape(R, S, C + 1)

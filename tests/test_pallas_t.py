@@ -89,3 +89,33 @@ def test_padding_nondivisible():
     out_t = pallas_mlp_t.fused_nerf_mlp(params, pts, dirs)
     out_j = nerf_mod.apply(params, pts, dirs)
     assert np.allclose(out_t, out_j, atol=2e-4)
+
+
+def test_barf_band_weights_match_jnp():
+    """BARF coarse-to-fine row weights in-kernel vs the jnp path, fwd+grad."""
+    from benerf_tpu.models import embedder
+
+    params, pts, dirs = _inputs(R=6)
+    w = embedder.barf_c2f_weights(jnp.asarray(1000), 8000, 10, 0.1, 0.5)
+    wv = embedder.barf_c2f_weights(jnp.asarray(1000), 8000, 4, 0.1, 0.5)
+
+    def loss_t(p, x, d):
+        return jnp.sum(jnp.sin(pallas_mlp_t.fused_nerf_mlp(
+            p, x, d, barf_weights=w, barf_weights_views=wv)))
+
+    def loss_j(p, x, d):
+        return jnp.sum(jnp.sin(nerf_mod.apply(
+            p, x, d, barf_weights=w, barf_weights_views=wv)))
+
+    out_t = pallas_mlp_t.fused_nerf_mlp(params, pts, dirs, barf_weights=w,
+                                        barf_weights_views=wv)
+    out_j = nerf_mod.apply(params, pts, dirs, barf_weights=w,
+                           barf_weights_views=wv)
+    assert np.allclose(out_t, out_j, atol=2e-4), (
+        np.abs(np.asarray(out_t) - np.asarray(out_j)).max()
+    )
+    gt = jax.grad(loss_t, argnums=(0, 1, 2))(params, pts, dirs)
+    gj = jax.grad(loss_j, argnums=(0, 1, 2))(params, pts, dirs)
+    for a, b in zip(jax.tree.leaves(gt), jax.tree.leaves(gj)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        assert np.allclose(a, b, atol=5e-4 * max(scale, 1.0))
