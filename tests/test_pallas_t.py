@@ -119,3 +119,10 @@ def test_barf_band_weights_match_jnp():
     for a, b in zip(jax.tree.leaves(gt), jax.tree.leaves(gj)):
         scale = np.abs(np.asarray(b)).max() + 1e-6
         assert np.allclose(a, b, atol=5e-4 * max(scale, 1.0))
+
+
+# NOTE on test_bfloat16_mode: the fwd/grad difference it asserts is real in
+# interpreter mode (CPU evaluates f32 matmuls exactly, so the explicit bf16
+# casts change results). On a real TPU at Precision.DEFAULT the MXU ingests
+# bf16 either way, so the two modes compile to identical compute — the
+# documented design (PROFILE_r04.md), not a plumbing failure.
