@@ -246,6 +246,12 @@ def main(argv=None):
                    help="scene generator blur calibration (px of worst-case "
                         "image sweep per exposure); default = generator's")
     p.add_argument("--pose_lrate_warmup", type=int, default=None)
+    p.add_argument("--pose_init", type=str, default=None,
+                   choices=["reference", "motion_scale"],
+                   help="trajectory init (see train/pose_init.py)")
+    p.add_argument("--use_barf_c2f", type=str, default=None,
+                   choices=["True", "False"],
+                   help="BARF coarse-to-fine PE weighting")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. 'cpu'); default = whatever"
                         " the environment provides (the TPU plugin overrides"
@@ -266,6 +272,10 @@ def main(argv=None):
         extra["target_blur_px"] = args.target_blur_px
     if args.pose_lrate_warmup is not None:
         extra["pose_lrate_warmup"] = args.pose_lrate_warmup
+    if args.pose_init is not None:
+        extra["pose_init"] = args.pose_init
+    if args.use_barf_c2f is not None:
+        extra["use_barf_c2f"] = args.use_barf_c2f == "True"
     artifact = run_quality(args.workdir, iters=args.iters, evals=args.evals,
                            H=args.size, W=args.size, seed=args.seed,
                            compute_dtype=args.compute_dtype, **extra)

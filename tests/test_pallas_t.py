@@ -126,3 +126,17 @@ def test_barf_band_weights_match_jnp():
 # casts change results). On a real TPU at Precision.DEFAULT the MXU ingests
 # bf16 either way, so the two modes compile to identical compute — the
 # documented design (PROFILE_r04.md), not a plumbing failure.
+
+
+def test_band_row_weights_layout():
+    from benerf_tpu.ops.pallas_mlp_t import band_row_weights, PE_PAD
+
+    w = jnp.arange(10, dtype=jnp.float32) / 10.0
+    pw = np.asarray(band_row_weights(w, 10, pad=PE_PAD))
+    assert pw.shape == (PE_PAD, 1)
+    np.testing.assert_array_equal(pw[:3, 0], 1.0)       # identity rows
+    np.testing.assert_array_equal(pw[3:9, 0], w[0])     # freq-0 sin+cos x3
+    np.testing.assert_array_equal(pw[9:15, 0], w[1])
+    np.testing.assert_array_equal(pw[63:, 0], 0.0)      # padding rows
+    ones = np.asarray(band_row_weights(None, 10, pad=PE_PAD))
+    np.testing.assert_array_equal(ones[:63, 0], 1.0)
