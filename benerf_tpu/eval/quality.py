@@ -201,7 +201,8 @@ def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
             **{k: getattr(cfg, k) for k in (
                 "N_samples", "N_importance", "sampling_event_rays",
                 "sampling_rgb_rays", "num_interpolated_pose", "traj",
-                "compute_dtype", "use_pallas", "pose_lrate_warmup")},
+                "compute_dtype", "use_pallas", "pose_lrate_warmup",
+                "pose_init", "use_barf_c2f", "fast_ray_sampling")},
             # None = reference random init; 0.0 = GT init; >0 = perturbed GT
             # (diagnostic runs — NOT recovery evidence)
             "init_from_gt": init_from_gt,
