@@ -181,7 +181,15 @@ def main():
                 "metric": "train_rays_per_sec_per_chip",
                 "value": round(rays_s, 1),
                 "unit": "rays/s (fwd+bwd+opt, 192 MLP evals/ray)",
+                # vs_baseline compares against THIS REPO's round-1 pure-jnp
+                # XLA path on one v5e chip (45,540 rays/s) — a self-progress
+                # ratio, NOT a reference comparison (the torch reference has
+                # no published throughput; its CPU speed here is ~0.03 it/s,
+                # see HEADTOHEAD_r05.md). MFU vs bf16 peak is the
+                # hardware-meaningful number.
                 "vs_baseline": round(rays_s / BASELINE_RAYS_PER_SEC, 3),
+                "baseline": "round-1 pure-jnp XLA path, one TPU v5e chip"
+                            " (45,540 rays/s; self-progress ratio)",
                 "model_flops_per_iter": flops,
                 "delivered_tflops": round(tflops, 2),
                 "mfu_vs_bf16_peak": round(mfu, 4) if platform == "tpu" else None,

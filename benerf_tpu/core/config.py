@@ -181,8 +181,10 @@ class Config:
     # ray subset sampling: True = approx_max_k over random keys (TPU-native,
     # stratified-flavor subset); False = exact uniform permutation slice
     # (reference randperm semantics, model/nerf.py:214 — a full sort of
-    # H*W keys per sensor per iteration)
-    fast_ray_sampling: bool = True
+    # H*W keys per sensor per iteration). Default False keeps the default
+    # training path reference-faithful; perf-oriented configs (demo.txt,
+    # bench.py) enable it explicitly.
+    fast_ray_sampling: bool = False
     # trajectory init: "reference" = U(0,0.01) knots (model/optimize.py:22),
     # "motion_scale" = random knots rescaled to the apparent-motion
     # magnitude estimated from the event stream + blurry image

@@ -86,23 +86,67 @@ def mlp_forward(
                 num_freqs_views=num_freqs_views,
                 compute_dtype=compute_dtype,
             )
+            barf_on = (
+                barf_weights is not None or barf_weights_views is not None
+            )
             if pallas_mlp is pallas_mlp_t:
-                kernel_kw.update(
-                    barf_weights=barf_weights,
-                    barf_weights_views=barf_weights_views,
-                )
+                if compute_dtype == "bfloat16":
+                    # honest-knob guard (PROFILE_r04.md "A dtype finding"):
+                    # on the transposed fully-fused path the MXU already
+                    # ingests bf16 at Precision.DEFAULT with f32 accumulation
+                    # and no staging arrays exist to narrow, so the flag is
+                    # a no-op BY CONSTRUCTION. Warn instead of silently
+                    # returning fp32-identical compute.
+                    import warnings
+
+                    warnings.warn(
+                        "compute_dtype='bfloat16' has no effect on the "
+                        "fused-transposed Pallas path (MXU already ingests "
+                        "bf16 with f32 accumulation); results are identical "
+                        "to float32. The flag still changes the jnp fallback "
+                        "and the staged kernel.",
+                        stacklevel=2,
+                    )
+                if not barf_on:
+                    kernel_kw.update(
+                        barf_weights=None, barf_weights_views=None
+                    )
             if mesh is not None and pts.ndim == 3:
                 from jax.sharding import PartitionSpec as P
 
-                def kernel(params_, pts_, vd_):
-                    return pallas_mlp.fused_nerf_mlp(
-                        params_, pts_, vd_, **kernel_kw
-                    )
+                if pallas_mlp is pallas_mlp_t and barf_on:
+                    # BARF band weights are traced values (functions of the
+                    # step counter): pass them as explicit replicated
+                    # shard_map operands, not closure captures, so the SPMD
+                    # partitioner sees them (ADVICE r4 #1).
+                    bw = (barf_weights if barf_weights is not None
+                          else jnp.ones((num_freqs,)))
+                    bwv = (barf_weights_views if barf_weights_views is not None
+                           else jnp.ones((num_freqs_views,)))
+
+                    def kernel(params_, pts_, vd_, bw_, bwv_):
+                        return pallas_mlp.fused_nerf_mlp(
+                            params_, pts_, vd_,
+                            barf_weights=bw_, barf_weights_views=bwv_,
+                            **kernel_kw,
+                        )
+
+                    extra_args = (bw, bwv)
+                    extra_specs = (P(), P())
+                else:
+
+                    def kernel(params_, pts_, vd_):
+                        return pallas_mlp.fused_nerf_mlp(
+                            params_, pts_, vd_, **kernel_kw
+                        )
+
+                    extra_args = ()
+                    extra_specs = ()
 
                 sharded = jax.shard_map(
                     kernel,
                     mesh=mesh,
-                    in_specs=(P(), P(data_axis), P(data_axis)),
+                    in_specs=(P(), P(data_axis), P(data_axis)) + extra_specs,
                     out_specs=P(data_axis),
                     # pallas_call outputs don't carry varying-mesh-axes
                     # metadata; skip the vma check (shapes are still checked)
@@ -126,8 +170,13 @@ def mlp_forward(
                                   (reps,) + (1,) * (viewdirs.ndim - 1))[:pad]],
                         axis=0,
                     )
-                out = sharded(params, pts, viewdirs)
+                out = sharded(params, pts, viewdirs, *extra_args)
                 return out[:R] if pad else out
+            if pallas_mlp is pallas_mlp_t and barf_on:
+                kernel_kw.update(
+                    barf_weights=barf_weights,
+                    barf_weights_views=barf_weights_views,
+                )
             return pallas_mlp.fused_nerf_mlp(params, pts, viewdirs, **kernel_kw)
 
     return nerf_model.apply(

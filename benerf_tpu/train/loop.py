@@ -201,7 +201,7 @@ def train(cfg, scene: datasets.SceneData = None, init_knots=None):
 
         init_knots, d_px = pose_init_mod.initial_knots(cfg, scene)
         print(f"[INFO] motion-scale pose init: estimated apparent motion "
-              f"{d_px:.2f}px -> knot rms {np.abs(init_knots).mean():.4f}")
+              f"{d_px:.2f}px -> mean |knot| {np.abs(init_knots).mean():.4f}")
     state = step_mod.init_state(
         cfg, jax.random.PRNGKey(cfg.seed), tx=tx,
         init_knots=init_knots,

@@ -29,6 +29,8 @@ scenes of this event density (see the oracle artifacts).
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import numpy as np
 
 
@@ -99,8 +101,10 @@ def motion_scale_knots(seed: int, d_px: float, focal: float,
     return knots
 
 
-def initial_knots(cfg, scene) -> np.ndarray:
-    """Build the motion-scale init for a loaded scene (host-side)."""
+def initial_knots(cfg, scene) -> Tuple[np.ndarray, float]:
+    """Motion-scale init for a loaded scene (host-side).
+
+    Returns (knots (4,6) float32, estimated apparent motion d_px)."""
     from benerf_tpu.data import events as events_mod
 
     eta = np.asarray(

@@ -35,12 +35,24 @@ H_RGB, W_RGB = 12, 16
 H_EVT, W_EVT = 10, 14
 
 CASES = {
+    # grad_rel / grad_frac: per-case fp32 tolerance envelopes, ~2.5-6x above
+    # the measured worst (2026-08, jnp + pallas-interpret, param_gen weights):
+    #   synthetic_gray  rel 1.5e-3, frac 0.0000
+    #   real_color      rel 1.8e-2 (knots; the L2-normalized event loss
+    #                   amplifies rounding), frac 0.0042
+    #   crf_gray        rel 2.7e-2 (sigmoid CRFs amplify ReLU-boundary
+    #                   flips),  frac 0.0153
+    # Only the amplified cases get wide bounds (ADVICE r4 #2); a real
+    # divergence in the plain path cannot hide inside CRF-sized slack.
     "synthetic_gray": dict(dataset="BeNeRF_Blender", channels=1,
-                           event_threshold=0.1, opt_crf=False),
+                           event_threshold=0.1, opt_crf=False,
+                           grad_rel=1e-2, grad_frac=0.005),
     "real_color": dict(dataset="E2NeRF_Real", channels=3,
-                       event_threshold=-1.0, opt_crf=False),
+                       event_threshold=-1.0, opt_crf=False,
+                       grad_rel=4.5e-2, grad_frac=0.015),
     "crf_gray": dict(dataset="BeNeRF_Blender", channels=1,
-                     event_threshold=0.1, opt_crf=True),
+                     event_threshold=0.1, opt_crf=True,
+                     grad_rel=7e-2, grad_frac=0.04),
 }
 
 
@@ -187,17 +199,19 @@ def check_case(case, gold, use_pallas, grad_rtol):
         d = np.asarray(desired, np.float64)
         rms = lambda x: float(np.sqrt((x ** 2).mean()))
         rel = rms(a - d) / max(rms(d), 1e-30)
-        # measured fp32 envelope (2026-08, jnp + pallas-interpret, all 3
-        # cases, param_gen weights): worst rel_rms 2.67e-2 (crf_gray nerf
-        # l0 bias). Bounds sit ~2.5x above that so a real divergence cannot
-        # hide inside rounding noise; the x64 subprocess test pins the math
-        # itself at <=1e-9, and test_pallas pins kernel==jnp tightly.
-        assert rel < 7e-2, f"{name}: rel_rms {rel:.2e} (measured max 2.7e-2)"
+        # per-case measured envelopes: see CASES (the x64 subprocess test
+        # pins the math itself at <=1e-9; test_pallas pins kernel==jnp)
+        rel_bound = CASES[case]["grad_rel"]
+        frac_bound = CASES[case]["grad_frac"]
+        assert rel < rel_bound, (
+            f"{name}: rel_rms {rel:.2e} (case bound {rel_bound:.1e})"
+        )
         tol = grad_rtol * np.abs(d) + 8e-2 * max(rms(d), 1e-30)
         frac = float((np.abs(a - d) > tol).mean())
-        # measured worst tail: 1.53% (crf_gray nerf l0 w) — sigmoid CRFs
-        # amplify ReLU-boundary rounding flips; bound ~2.5x above
-        assert frac < 0.04, f"{name}: {frac:.3%} elements out of tolerance"
+        assert frac < frac_bound, (
+            f"{name}: {frac:.3%} elements out of tolerance "
+            f"(case bound {frac_bound:.3%})"
+        )
 
     # gradients: trajectory (through se3 exp/log + spline), then MLP layers
     close(grads["knots"], g[p + "grad_knots"], "d loss/d knots")

@@ -140,3 +140,59 @@ def test_band_row_weights_layout():
     np.testing.assert_array_equal(pw[63:, 0], 0.0)      # padding rows
     ones = np.asarray(band_row_weights(None, 10, pad=PE_PAD))
     np.testing.assert_array_equal(ones[:63, 0], 1.0)
+
+
+def test_bfloat16_noop_warning():
+    """compute_dtype='bfloat16' on the fused-transposed dispatch is a no-op
+    on real TPU hardware (MXU ingests bf16 at Precision.DEFAULT either way;
+    PROFILE_r04.md). The dispatcher must say so instead of silently running
+    fp32-identical compute (VERDICT r4 weak #3)."""
+    import warnings
+
+    from benerf_tpu.ops import mlp as mlp_ops
+
+    params, pts, dirs = _inputs(R=8)
+    mlp_ops.force_interpret(True)
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            out = mlp_ops.mlp_forward(
+                params, pts, dirs, compute_dtype="bfloat16"
+            )
+        assert out.shape == (8, 64, 4)
+        msgs = [str(w.message) for w in rec]
+        assert any("no effect on the fused-transposed" in m for m in msgs), msgs
+
+        # fp32 mode must NOT warn
+        with warnings.catch_warnings(record=True) as rec2:
+            warnings.simplefilter("always")
+            mlp_ops.mlp_forward(params, pts, dirs, compute_dtype="float32")
+        assert not any(
+            "fused-transposed" in str(w.message) for w in rec2
+        )
+    finally:
+        mlp_ops.force_interpret(False)
+
+
+def test_pretransposed_weights_variant_matches():
+    """NATURAL_WEIGHTS=False (r4-measured-fastest packing) must be
+    numerically identical to the natural-orientation path, fwd + grads."""
+    params, pts, dirs = _inputs(R=8)
+
+    def loss(p):
+        return jnp.sum(pallas_mlp_t.fused_nerf_mlp(p, pts, dirs) ** 2)
+
+    out_nat = pallas_mlp_t.fused_nerf_mlp(params, pts, dirs)
+    g_nat = jax.grad(loss)(params)
+    pallas_mlp_t.NATURAL_WEIGHTS = False
+    try:
+        out_t = pallas_mlp_t.fused_nerf_mlp(params, pts, dirs)
+        g_t = jax.grad(loss)(params)
+    finally:
+        pallas_mlp_t.NATURAL_WEIGHTS = True
+    np.testing.assert_allclose(np.asarray(out_nat), np.asarray(out_t),
+                               rtol=0, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_nat), jax.tree.leaves(g_t)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.allclose(a, b, atol=1e-4 * scale)

@@ -82,3 +82,41 @@ def test_graft_entry_forward_compiles():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     assert out.shape == (1024, 3)
+
+
+def test_sharded_barf_matches_unsharded(cpu_mesh, tmp_path_factory):
+    """BARF + mesh: band weights reach the Pallas kernel as explicit
+    replicated shard_map operands (ADVICE r4 #1). Sharded == unsharded
+    through the real kernel (interpret mode) with BARF c2f active."""
+    from benerf_tpu.ops import mlp as mlp_ops
+
+    cfg, scene, batch = _setup(tmp_path_factory)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, use_pallas=True, use_barf_c2f=True,
+        barf_c2f_start=0.0, barf_c2f_end=0.8, max_iter=100,
+    )
+    H, W = scene.image.shape[1:3]
+    key = jax.random.PRNGKey(1)
+    mlp_ops.force_interpret(True)
+    try:
+        state_a = step_mod.init_state(cfg, jax.random.PRNGKey(0))
+        # step > 0 so the BARF band weights are a non-trivial partial window
+        state_a = state_a._replace(step=jnp.asarray(30, jnp.int32))
+        fn_plain = step_mod.make_train_step(cfg, H, W, mesh=None)
+        out_a, m_a = fn_plain(state_a, batch, key)
+
+        state_b = step_mod.init_state(cfg, jax.random.PRNGKey(0))
+        state_b = state_b._replace(step=jnp.asarray(30, jnp.int32))
+        state_b = mesh_mod.replicate_tree(state_b, cpu_mesh)
+        fn_mesh = step_mod.make_train_step(cfg, H, W, mesh=cpu_mesh)
+        with cpu_mesh:
+            out_b, m_b = fn_mesh(state_b, batch, key)
+    finally:
+        mlp_ops.force_interpret(False)
+
+    assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(out_a.params),
+                    jax.tree.leaves(out_b.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
