@@ -41,6 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024        # points per fwd grid step (lanes)
 BWD_TILE = 512     # backward rematerializes 8 (256, tile) activations
 INTERPRET = False
+# True: weights packed in natural (fan_in, fan_out) orientation, kernel
+# contracts over dim 0 (no packing transposes). False: weights pre-transposed
+# to (fan_out, fan_in) as in the original r4 kernel — the round-4 bench
+# measured that variant fastest (133.6k vs 130.7k rays/s, PROFILE_r04.md) but
+# it was shipped off on a structural argument; both are kept measurable
+# (VERDICT r4 weak #2) and numerically identical (test_pallas_t).
+NATURAL_WEIGHTS = True
 
 WIDTH = 256
 DEPTH = 8
@@ -112,7 +119,21 @@ def pack_params_t(params):
         .at[:C, 0].set(p["rgb"]["b"])
         .at[C, 0].set(p["alpha"]["b"][0])
     )
-    return (w0, wh, w5pe, b, wa, wf, bf, wfv, wvpe, bv, wrgb, hb)
+    ws = (w0, wh, w5pe, b, wa, wf, bf, wfv, wvpe, bv, wrgb, hb)
+    if NATURAL_WEIGHTS:
+        return ws
+    # NATURAL_WEIGHTS=False: pre-transpose every weight matrix to
+    # (fan_out, fan_in) — the r4-measured-fastest layout (PROFILE_r04.md
+    # outcome table); biases stay column vectors. Kept measurable so perf
+    # rounds can re-decide on evidence (VERDICT r4 weak #2).
+    idx_bias = {3, 6, 9, 11}  # b, bf, bv, hb positions in ws
+
+    def t(x):
+        return jnp.swapaxes(x, -1, -2)
+
+    return tuple(
+        w if i in idx_bias else t(w) for i, w in enumerate(ws)
+    )
 
 
 def band_row_weights(weights, L, n_dims=3, pad=None):
@@ -168,10 +189,12 @@ def _trunk_forward_t(pv, pw, vw, w0, wh, w5pe, b, wa, wf, bf, wfv, wvpe, bv,
     if dtype == "float32_highest":
         dtype = jnp.float32
 
-    def mm(w, a):  # w (I, O) natural, a (I, T) -> (O, T), f32 accumulation
+    def mm(w, a):  # -> (O, T), f32 accumulation. w natural (I, O) or
+        # pre-transposed (O, I) per NATURAL_WEIGHTS
+        dn = ((((0,), (0,)) if NATURAL_WEIGHTS else ((1,), (0,))), ((), ()))
         return jax.lax.dot_general(
             w.astype(dtype), a.astype(dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            dimension_numbers=dn,
             preferred_element_type=jnp.float32, precision=precision,
         )
 
@@ -253,16 +276,19 @@ def _bwd_kernel_t(C, dtype, pv_ref, *refs):
                  else jax.lax.Precision.DEFAULT)
     cdt = jnp.float32 if dtype == "float32_highest" else dtype
 
-    def mm_tn(w, g):  # w (I, O) natural: (I, T) = w @ g(O, T) over O
+    def mm_tn(w, g):  # (I, T): transposed apply of w to g (O, T)
+        dn = ((((1,), (0,)) if NATURAL_WEIGHTS else ((0,), (0,))), ((), ()))
         return jax.lax.dot_general(
             w.astype(cdt), g.astype(cdt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=dn,
             preferred_element_type=jnp.float32, precision=precision,
         )
 
-    def outer(a, g):  # dW (I, O) natural = a (I, T) @ g (O, T)^T
+    def outer(a, g):  # dW in the packed orientation: natural (I, O) =
+        # a (I, T) @ g (O, T)^T; pre-transposed (O, I) = g @ a^T
+        lhs, rhs = (a, g) if NATURAL_WEIGHTS else (g, a)
         return jax.lax.dot_general(
-            a.astype(cdt), g.astype(cdt),
+            lhs.astype(cdt), rhs.astype(cdt),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )

@@ -244,18 +244,20 @@ def make_loss_fn(cfg, H: int, W: int, shard=None, mesh=None):
         ray_idx_evt = draws["ray_idx_evt"]
         ray_idx_rgb = draws["ray_idx_rgb"]
 
-        # 4. renders (event: 2 poses, rgb: n_poses)
-        ret_evt = renderer_mod.render_poses_with_ray_idx(
-            params["nerf"], params["nerf_fine"], evt_poses, ray_idx_evt,
-            batch.K_evt, H_evt, W_evt, settings,
-            keys=draws["keys_evt"],
-            remap=batch.evt_remap, step=step, mesh=mesh,
-        )
-        ret_rgb = renderer_mod.render_poses_with_ray_idx(
-            params["nerf"], params["nerf_fine"], rgb_poses, ray_idx_rgb,
-            batch.K_rgb, H, W, settings,
-            keys=draws["keys_rgb"],
-            remap=batch.img_remap, step=step, mesh=mesh,
+        # 4. renders (event: 2 poses, rgb: n_poses) — both families through
+        # ONE joint coarse+fine pass: 2 fused-MLP calls/step instead of 4
+        # (PROFILE_r04.md cross-call fusion; per-ray numerics unchanged)
+        ret_evt, ret_rgb = renderer_mod.render_pose_families_with_ray_idx(
+            params["nerf"], params["nerf_fine"],
+            [
+                dict(poses=evt_poses, ray_idx=ray_idx_evt, K=batch.K_evt,
+                     H=H_evt, W=W_evt, keys=draws["keys_evt"],
+                     remap=batch.evt_remap),
+                dict(poses=rgb_poses, ray_idx=ray_idx_rgb, K=batch.K_rgb,
+                     H=H, W=W, keys=draws["keys_rgb"],
+                     remap=batch.img_remap),
+            ],
+            settings, step=step, mesh=mesh,
         )
 
         metrics = {}

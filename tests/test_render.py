@@ -196,3 +196,46 @@ def test_fast_ray_sampling_subset():
     # no index should be systematically excluded or hugely favored
     assert counts.max() <= 5
     assert (counts > 0).sum() > 3 * k  # spread across many indices
+
+
+def test_joint_family_render_matches_separate():
+    """render_ray_families concatenates families around the MLP calls only;
+    every per-ray output must equal the one-family render exactly (the train
+    step ships the joint path — PROFILE_r04.md cross-call fusion)."""
+    key = jax.random.PRNGKey(0)
+    p_c = nerf.init_params(jax.random.PRNGKey(1))
+    p_f = nerf.init_params(jax.random.PRNGKey(2))
+    settings = renderer.RenderSettings(
+        n_samples=8, n_importance=8, channels=3, use_pallas=False
+    )
+
+    def fam(seed, R, H, W, focal):
+        k = jax.random.PRNGKey(seed)
+        rays_o = jnp.zeros((R, 3)) + jnp.asarray([0.0, 0.0, 1.0])
+        rays_d = (jax.random.normal(k, (R, 3)) * 0.05
+                  + jnp.asarray([0.0, 0.0, -1.0]))
+        keys = {
+            "z": jax.random.fold_in(k, 1),
+            "pdf": jax.random.fold_in(k, 2),
+            "noise_c": jax.random.fold_in(k, 3),
+            "noise_f": jax.random.fold_in(k, 4),
+        }
+        return dict(rays_o=rays_o, rays_d=rays_d, H=H, W=W, focal=focal,
+                    keys=keys)
+
+    f0 = fam(10, 24, 40, 40, 50.0)
+    f1 = fam(11, 17, 30, 50, 70.0)  # different camera AND ray count
+
+    joint = renderer.render_ray_families(p_c, p_f, [f0, f1], settings)
+    solo = [
+        renderer.render_rays(p_c, p_f, f["rays_o"], f["rays_d"], settings,
+                             f["H"], f["W"], f["focal"], keys=f["keys"])
+        for f in (f0, f1)
+    ]
+    for j, s in zip(joint, solo):
+        assert set(j) == set(s)
+        for k in j:
+            np.testing.assert_allclose(
+                np.asarray(j[k]), np.asarray(s[k]), rtol=0, atol=1e-6,
+                err_msg=k,
+            )
