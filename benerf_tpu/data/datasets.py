@@ -95,8 +95,11 @@ def load_timestamps(datadir: str, cfg):
         ends = stamps + 0.5 * expos
         img_s, img_e = starts[cfg.index], ends[cfg.index]
     elif ds == "E2NeRF_Real":
-        starts = np.loadtxt(os.path.join(datadir, "exposure_start_ts.txt"))
-        ends = np.loadtxt(os.path.join(datadir, "exposure_end_ts.txt"))
+        # atleast_1d: a single-image scene loads as a 0-d array
+        starts = np.atleast_1d(
+            np.loadtxt(os.path.join(datadir, "exposure_start_ts.txt")))
+        ends = np.atleast_1d(
+            np.loadtxt(os.path.join(datadir, "exposure_end_ts.txt")))
         img_s, img_e = starts[cfg.index], ends[cfg.index]
     elif ds == "E2NeRF_Synthetic":
         path = os.path.join(

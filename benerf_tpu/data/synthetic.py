@@ -143,17 +143,34 @@ def render_frame(scene, pose, H, W, K, n_samples=160, near=1.0, far=8.0):
     return np.clip(img, 0.0, 1.0)
 
 
-def events_from_frames(frames, t_lo, t_hi, threshold=0.1, eps=1e-9, seed=0):
+def lin_log_np(gray01, thres: float = 20.0):
+    """E2NeRF sensor response: linear below thres (0..255 scale), log above
+    (reference utils/math_utils.py:7-16). gray01 in [0,1]."""
+    c = gray01 * 255.0
+    lin_slope = np.log(thres + 1e-9) / thres
+    return np.where(c < thres, lin_slope * c, np.log(c + 1e-9))
+
+
+def events_from_frames(frames, t_lo, t_hi, threshold=0.1, eps=1e-9, seed=0,
+                       brightness="log"):
     """ESIM-style event synthesis from a frame stack (F,H,W,3).
 
-    Per pixel, events fire whenever log-gray crosses multiples of the
-    threshold from a per-pixel reference level; timestamps land uniformly
-    inside each inter-frame interval. Returns (N,4) [x,y,t,p], unsorted
-    (callers sort by t).
+    Per pixel, events fire whenever the brightness signal crosses multiples
+    of the threshold from a per-pixel reference level; timestamps land
+    uniformly inside each inter-frame interval. Returns (N,4) [x,y,t,p],
+    unsorted (callers sort by t).
+
+    brightness: "log" (BeNeRF_* sensor model, safe_log) or "lin_log"
+    (E2NeRF_* sensor model — matches the loss's brightness map so the
+    synthesized events are physically consistent with the lin_log loss
+    branch, reference train.py:230-262).
     """
     rng = np.random.default_rng(seed)
     gray = frames @ np.array([0.299, 0.587, 0.114])
-    logi = np.log(gray + eps)
+    if brightness == "lin_log":
+        logi = lin_log_np(gray)
+    else:
+        logi = np.log(gray + eps)
     F = logi.shape[0]
     times = np.linspace(t_lo, t_hi, F)
     ref = logi[0].copy()
@@ -248,24 +265,14 @@ def calibrated_trajectory(seed, K, wall_z=-4.0, n_images=1,
     return knots
 
 
-def write_benerf_blender_scene(
-    outdir: str,
-    H: int = 80,
-    W: int = 80,
-    focal: float = 90.0,
-    n_virtual: int = 17,
-    threshold: float = 0.1,
-    seed: int = 0,
-    n_images: int = 2,
-    target_blur_px: float = 6.0,
+def _generate_scene_core(
+    outdir, H, W, focal, n_virtual, threshold, seed, n_images,
+    target_blur_px, brightness="log",
 ):
-    """Write a BeNeRF_Blender-format scene directory; returns ground truth.
-
-    Timeline: poses_ts.txt has n_images+1 stamps (ms-style units); image i's
-    exposure spans [ts[i], ts[i+1]] (load_data.py:92-96). The camera follows
-    a cubic spline over the whole timeline whose magnitude is calibrated so
-    each exposure sweeps ~target_blur_px pixels of image motion.
-    """
+    """Shared generation for all on-disk formats: render virtual frames
+    along the calibrated GT spline, write blurry inputs + sharp GT PNGs,
+    synthesize events. Returns (gt dict, events (N,4) [x,y,t,p] sorted by t,
+    ts (n_images+1,))."""
     from imageio.v3 import imwrite
 
     scene = make_scene(seed)
@@ -305,7 +312,8 @@ def write_benerf_blender_scene(
             os.path.join(outdir, "images_test", f"{idx:03d}.png"),
             (np.clip(sharp, 0, 1) * 255).astype(np.uint8),
         )
-        ev = events_from_frames(frames, ts[idx], ts[idx + 1], threshold, seed=seed + idx)
+        ev = events_from_frames(frames, ts[idx], ts[idx + 1], threshold,
+                                seed=seed + idx, brightness=brightness)
         if len(ev):
             all_events.append(ev)
         gt[f"frames_{idx}"] = frames
@@ -316,35 +324,152 @@ def write_benerf_blender_scene(
         else np.zeros((0, 4))
     )
     events = events[events[:, 2].argsort()]
-    np.save(os.path.join(outdir, "events", "events.npy"), events)
-    np.savetxt(os.path.join(outdir, "poses_ts.txt"), ts)
-    # Ground-truth trajectory sidecar: lets datasets.load_scene populate
-    # SceneData.gt_knots so training reports in-train ATE/RPE pose recovery
-    # (train/loop.py periodic_eval). Real datasets have no such file.
-    np.savez(
-        os.path.join(outdir, "gt_trajectory.npz"),
-        knots=knots,
-        t_lo=np.float64(ts[0]),
-        t_hi=np.float64(ts[-1]),
-        # dominant scene depth (the textured wall): anchors the gauge-fixed
-        # reprojection-flow pose metric (eval/pose_metrics.reproj_flow_error)
-        plane_depth=np.float64(abs(scene.wall_z)),
-    )
-    # Provenance sidecar: the generator parameters that define the GT scene.
-    # Earlier rounds changed trajectory defaults silently, making committed
-    # artifacts irreproducible; quality artifacts now embed this block.
+    return gt, events, ts
+
+
+def _write_gt_sidecars(outdir, gt, ts, events, meta):
+    """gt_trajectory.npz + scene_meta.json (shared by all formats)."""
     import json
 
+    np.savez(
+        os.path.join(outdir, "gt_trajectory.npz"),
+        knots=gt["knots"],
+        t_lo=np.float64(ts[0]),
+        t_hi=np.float64(ts[-1]),
+        plane_depth=np.float64(abs(gt["scene"].wall_z)),
+    )
+    meta = dict(meta)
+    meta["n_events"] = int(len(events))
     with open(os.path.join(outdir, "scene_meta.json"), "w") as f:
-        json.dump(
-            {
-                "scene_format_version": 2,
-                "seed": seed, "H": H, "W": W, "focal": focal,
-                "n_images": n_images, "n_virtual": n_virtual,
-                "event_threshold": threshold,
-                "target_blur_px": target_blur_px,
-                "n_events": int(len(events)),
-            },
-            f, indent=1,
-        )
+        json.dump(meta, f, indent=1)
+
+
+def write_benerf_blender_scene(
+    outdir: str,
+    H: int = 80,
+    W: int = 80,
+    focal: float = 90.0,
+    n_virtual: int = 17,
+    threshold: float = 0.1,
+    seed: int = 0,
+    n_images: int = 2,
+    target_blur_px: float = 6.0,
+):
+    """Write a BeNeRF_Blender-format scene directory; returns ground truth.
+
+    Timeline: poses_ts.txt has n_images+1 stamps (ms-style units); image i's
+    exposure spans [ts[i], ts[i+1]] (load_data.py:92-96). The camera follows
+    a cubic spline over the whole timeline whose magnitude is calibrated so
+    each exposure sweeps ~target_blur_px pixels of image motion.
+    """
+    gt, events, ts = _generate_scene_core(
+        outdir, H, W, focal, n_virtual, threshold, seed, n_images,
+        target_blur_px, brightness="log",
+    )
+    np.save(os.path.join(outdir, "events", "events.npy"), events)
+    np.savetxt(os.path.join(outdir, "poses_ts.txt"), ts)
+    # Ground-truth trajectory + provenance sidecars (synthetic scenes only;
+    # real datasets have neither — see datasets.load_scene)
+    _write_gt_sidecars(outdir, gt, ts, events, {
+        "scene_format_version": 2,
+        "format": "BeNeRF_Blender",
+        "seed": seed, "H": H, "W": W, "focal": focal,
+        "n_images": n_images, "n_virtual": n_virtual,
+        "event_threshold": threshold,
+        "target_blur_px": target_blur_px,
+    })
+    return gt
+
+
+def write_e2nerf_synthetic_scene(
+    outdir: str,
+    H: int = 80,
+    W: int = 80,
+    focal: float = 90.0,
+    n_virtual: int = 17,
+    threshold: float = 0.2,
+    seed: int = 0,
+    target_blur_px: float = 6.0,
+    index: int = 0,
+):
+    """Write an E2NeRF_Synthetic-format scene; returns ground truth.
+
+    On-disk contract (reference load_data.py:112-119,308-317): events live
+    in events/r_{2*index}/v2e-dvs-events.txt rows [t, x, y, p] with p in
+    {0,1} and t in units where t*1e19 is the raw timestamp; the exposure
+    interval is the first..last event time of that same file (no
+    poses_ts.txt). Events are synthesized in lin_log brightness space with
+    the E2NeRF contrast threshold 0.2 so they are physically consistent
+    with the lin_log loss branch (train.py:230-262, math_utils.py:7-16).
+    """
+    gt, events, ts = _generate_scene_core(
+        outdir, H, W, focal, n_virtual, threshold, seed, n_images=1,
+        target_blur_px=target_blur_px, brightness="lin_log",
+    )
+    evdir = os.path.join(outdir, "events", f"r_{2 * index}")
+    os.makedirs(evdir, exist_ok=True)
+    # rows [t, x, y, p]: t scaled so loader's t*1e19 recovers ms-style
+    # stamps; p stored {0,1} (loader maps 2p-1)
+    rows = np.stack(
+        [events[:, 2] / 1e19, events[:, 0], events[:, 1],
+         (events[:, 3] > 0).astype(np.float64)],
+        axis=-1,
+    )
+    np.savetxt(os.path.join(evdir, "v2e-dvs-events.txt"), rows,
+               fmt="%.18e %d %d %d")
+    _write_gt_sidecars(outdir, gt, ts, events, {
+        "scene_format_version": 2,
+        "format": "E2NeRF_Synthetic",
+        "seed": seed, "H": H, "W": W, "focal": focal,
+        "n_images": 1, "n_virtual": n_virtual,
+        "event_threshold": threshold,
+        "target_blur_px": target_blur_px,
+        "brightness": "lin_log",
+    })
+    return gt
+
+
+def write_e2nerf_real_scene(
+    outdir: str,
+    H: int = 80,
+    W: int = 80,
+    focal: float = 90.0,
+    n_virtual: int = 17,
+    threshold: float = 0.2,
+    seed: int = 0,
+    target_blur_px: float = 6.0,
+):
+    """Write an E2NeRF_Real-format scene; returns ground truth.
+
+    On-disk contract (reference load_data.py:106-110,301-306): events as a
+    torch tensor events/events.pt rows [x, y, t, p] (p ±1), exposure bounds
+    in exposure_start_ts.txt / exposure_end_ts.txt. The real-data loss
+    branch is threshold -1 (L2-normalized event loss, train.py:263-296);
+    the events themselves are synthesized in lin_log space at a nominal
+    contrast threshold (the loss never sees it — only directions). The
+    sharp GT (images_test/) and gt_trajectory.npz are generator sidecars
+    the real datasets lack; loaders ignore images_test for E2NeRF_Real and
+    the quality harness reads it directly.
+    """
+    import torch
+
+    gt, events, ts = _generate_scene_core(
+        outdir, H, W, focal, n_virtual, threshold, seed, n_images=1,
+        target_blur_px=target_blur_px, brightness="lin_log",
+    )
+    torch.save(torch.from_numpy(events.astype(np.float64)),
+               os.path.join(outdir, "events", "events.pt"))
+    np.savetxt(os.path.join(outdir, "exposure_start_ts.txt"),
+               np.array([ts[0]]))
+    np.savetxt(os.path.join(outdir, "exposure_end_ts.txt"),
+               np.array([ts[-1]]))
+    _write_gt_sidecars(outdir, gt, ts, events, {
+        "scene_format_version": 2,
+        "format": "E2NeRF_Real",
+        "seed": seed, "H": H, "W": W, "focal": focal,
+        "n_images": 1, "n_virtual": n_virtual,
+        "event_threshold": threshold,
+        "target_blur_px": target_blur_px,
+        "brightness": "lin_log",
+    })
     return gt

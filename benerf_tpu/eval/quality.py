@@ -122,9 +122,17 @@ def initial_pose_error(scene, cfg, K, H, W) -> dict:
 
 def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
                 H: int = 80, W: int = 80, seed: int = 0,
-                init_from_gt: float = None, **cfg_overrides):
+                init_from_gt: float = None, dataset: str = "BeNeRF_Blender",
+                **cfg_overrides):
     """Generate scene -> train -> collect checkpoints. Returns the artifact
-    dict (also the structure written by the CLI)."""
+    dict (also the structure written by the CLI).
+
+    dataset selects the scene format AND loss family (the reference's three
+    event-loss branches, train.py:204-296):
+      BeNeRF_Blender    safe_log brightness, threshold 0.1  (syn loss)
+      E2NeRF_Synthetic  lin_log brightness,  threshold 0.2  (syn loss)
+      E2NeRF_Real       lin_log brightness,  threshold -1   (normalized loss)
+    """
     from benerf_tpu.data import datasets, synthetic
     from benerf_tpu.eval import metrics as metrics_mod
     from benerf_tpu.train.loop import train
@@ -137,14 +145,47 @@ def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
     scene_kw = {k: cfg_overrides.pop(k) for k in
                 ("target_blur_px", "threshold", "n_virtual")
                 if k in cfg_overrides}
-    if not os.path.exists(os.path.join(datadir, "poses_ts.txt")):
-        synthetic.write_benerf_blender_scene(
-            datadir, H=H, W=W, seed=seed, n_images=1, **scene_kw,
-        )
+    family = {
+        "BeNeRF_Blender": dict(
+            writer=lambda: synthetic.write_benerf_blender_scene(
+                datadir, H=H, W=W, seed=seed, n_images=1, **scene_kw),
+            cfg=dict(dataset="BeNeRF_Blender", event_threshold=0.1),
+        ),
+        # accumulate_time_length 0.25 == all shipped e2nerf configs
+        # (/root/reference/configs/e2nerf_*/*.txt)
+        "E2NeRF_Synthetic": dict(
+            writer=lambda: synthetic.write_e2nerf_synthetic_scene(
+                datadir, H=H, W=W, seed=seed, **scene_kw),
+            cfg=dict(dataset="E2NeRF_Synthetic", event_threshold=0.2,
+                     accumulate_time_length=0.25),
+        ),
+        "E2NeRF_Real": dict(
+            writer=lambda: synthetic.write_e2nerf_real_scene(
+                datadir, H=H, W=W, seed=seed, **scene_kw),
+            cfg=dict(dataset="E2NeRF_Real", event_threshold=-1.0,
+                     event_coeff_real=2.0, accumulate_time_length=0.25),
+        ),
+    }[dataset]
+    if not os.path.exists(os.path.join(datadir, "scene_meta.json")):
+        family["writer"]()
 
+    fam_cfg = dict(family["cfg"])
+    fam_cfg.update(cfg_overrides)
     cfg = demo_config(datadir, logdir, iters, evals, H=H, W=W, seed=seed,
-                      **cfg_overrides)
+                      **fam_cfg)
     scene = datasets.load_scene(datadir, cfg)
+    if scene.imgtest is None:
+        # E2NeRF_Real: the loader is faithful to the real datasets (no GT
+        # images), but our generator writes the sharp frame as a sidecar —
+        # inject it for metrics only (never touches training).
+        import dataclasses as _dc
+
+        scene = _dc.replace(
+            scene,
+            imgtest=datasets._load_image_stack(
+                datadir, "images_test", cfg.channels == 1, 0
+            ),
+        )
 
     blurry = scene.image[0]
     sharp = scene.imgtest[0]
@@ -188,8 +229,8 @@ def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
                 })
 
     final = checkpoints[-1] if checkpoints else {}
-    scene_block = {"kind": "synthetic_benerf_blender", "H": H, "W": W,
-                   "seed": seed, "iters": iters,
+    scene_block = {"kind": f"synthetic_{dataset.lower()}", "dataset": dataset,
+                   "H": H, "W": W, "seed": seed, "iters": iters,
                    "n_events": int(scene.events.num)}
     meta_path = os.path.join(datadir, "scene_meta.json")
     if os.path.exists(meta_path):  # generator provenance (blur calibration,
@@ -242,6 +283,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workdir", type=str, required=True)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--dataset", type=str, default="BeNeRF_Blender",
+                   choices=["BeNeRF_Blender", "E2NeRF_Synthetic",
+                            "E2NeRF_Real"],
+                   help="scene format + event-loss family (train.py:204-296)")
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--target_blur_px", type=float, default=None,
                    help="scene generator blur calibration (px of worst-case "
@@ -279,6 +324,7 @@ def main(argv=None):
         extra["use_barf_c2f"] = args.use_barf_c2f == "True"
     artifact = run_quality(args.workdir, iters=args.iters, evals=args.evals,
                            H=args.size, W=args.size, seed=args.seed,
+                           dataset=args.dataset,
                            compute_dtype=args.compute_dtype, **extra)
     text = json.dumps(artifact, indent=2)
     print(text)
