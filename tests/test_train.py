@@ -337,3 +337,31 @@ def test_motion_scale_pose_init(scene_dir):
     assert 6.0 / 3 < d_px < 6.0 * 3, d_px
     # rotation-dominant layout
     assert np.abs(knots[:, :3]).mean() > np.abs(knots[:, 3:]).mean()
+
+
+@pytest.mark.slow
+def test_motion_scale_recovery_gate(tmp_path):
+    """CI gate for the SHIPPED recipe (VERDICT r4 weak #1): motion-scale
+    init from the data alone (no GT) must leave the trajectory materially
+    below the do-nothing flow level and keep it there while deblurring
+    proceeds. Calibration (2026-08, 32x32/600 iters): flow holds at
+    ~1.11 px vs gt motion 2.00 px, PSNR 28->36 dB. A broken
+    estimate_motion_px (e.g. returning 0 -> near-zero init) parks flow at
+    ~gt motion and fails the 0.65 bound; a broken optimizer/spline path
+    random-walks it upward."""
+    from benerf_tpu.eval import quality
+
+    art = quality.run_quality(
+        str(tmp_path), iters=400, evals=2, H=32, W=32, seed=0,
+        pose_init="motion_scale", target_blur_px=6.0,
+        sampling_event_rays=128, sampling_rgb_rays=95,
+        num_interpolated_pose=5, N_samples=16, N_importance=16,
+        use_pallas=False, console_log_iter=200,
+    )
+    final = art["checkpoints"][-1]
+    gt_motion = art["baseline"]["gt_flow_rms_px"]
+    assert final["pose_flow_rmse_px"] < 0.65 * gt_motion, (
+        final, gt_motion)
+    # deblurring must actually progress under the recipe
+    assert final["test_mid_psnr"] > art["baseline"]["blurry_input_psnr"], (
+        final["test_mid_psnr"], art["baseline"]["blurry_input_psnr"])

@@ -35,12 +35,22 @@ def main():
     p.add_argument("--split", type=int, default=40000,
                    help="stop/resume boundary (0 = single phase)")
     p.add_argument("--eval_iter", type=int, default=5000)
-    p.add_argument("--size", type=int, default=80)
+    p.add_argument("--size", type=int, default=80,
+                   help="square scene size (overridden by --height/--width)")
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--focal", type=float, default=0.0,
+                   help="0 = 1.125*size (the 80x80 demo ratio); at the "
+                        "reference operating point use ~541.85 "
+                        "(configs/benerf_blender/tanabata.txt intrinsics)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--target_blur_px", type=float, default=6.0)
     p.add_argument("--use_barf_c2f", action="store_true")
+    p.add_argument("--pose_init", default="reference",
+                   choices=["reference", "motion_scale"])
+    p.add_argument("--fast_ray_sampling", action="store_true")
     p.add_argument("--compute_dtype", default="float32")
-    p.add_argument("--out", default="PROTOCOL_r04.json")
+    p.add_argument("--out", default="PROTOCOL_r05.json")
     args = p.parse_args()
 
     import jax
@@ -55,22 +65,26 @@ def main():
     from benerf_tpu.train.loop import train
 
     t0 = time.time()
-    H = W = args.size
+    H = args.height or args.size
+    W = args.width or args.size
+    focal = args.focal or 1.125 * args.size
     datadir = os.path.join(args.workdir, "data")
     logdir = quality._fresh_run_dir(os.path.join(args.workdir, "logs"))
     if not os.path.exists(os.path.join(datadir, "poses_ts.txt")):
         synthetic.write_benerf_blender_scene(
-            datadir, H=H, W=W, seed=args.seed, n_images=1,
+            datadir, H=H, W=W, focal=focal, seed=args.seed, n_images=1,
             target_blur_px=args.target_blur_px,
         )
 
     base = quality.demo_config(
         datadir, logdir, args.iters, evals=args.iters // args.eval_iter,
-        H=H, W=W, seed=args.seed,
+        H=H, W=W, focal=focal, seed=args.seed,
         render_image_iter=args.eval_iter,
         save_model_iter=args.eval_iter,
         console_log_iter=1000,
         use_barf_c2f=args.use_barf_c2f,
+        pose_init=args.pose_init,
+        fast_ray_sampling=args.fast_ray_sampling,
         compute_dtype=args.compute_dtype,
     )
     scene = datasets.load_scene(datadir, base)
@@ -122,8 +136,10 @@ def main():
     artifact = {
         "protocol": {"iters": args.iters, "eval_iter": args.eval_iter,
                      "use_barf_c2f": args.use_barf_c2f,
+                     "pose_init": args.pose_init,
+                     "fast_ray_sampling": args.fast_ray_sampling,
                      "compute_dtype": args.compute_dtype},
-        "scene": {"H": H, "W": W, "seed": args.seed,
+        "scene": {"H": H, "W": W, "focal": focal, "seed": args.seed,
                   "target_blur_px": args.target_blur_px,
                   "n_events": int(scene.events.num)},
         "baseline": baseline,
