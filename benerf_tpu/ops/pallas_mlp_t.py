@@ -39,7 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024        # points per fwd grid step (lanes)
-BWD_TILE = 512     # backward rematerializes 8 (256, tile) activations
+BWD_TILE = 768     # backward rematerializes 8 (256, tile) activations;
+                   # 768 won the r5 on-chip sweep (tools/tpu_session_r05c:
+                   # 140.4k rays/s vs 136.0k at 512, re-verified after the
+                   # lcm-padding fix in tpu_session_r05d's preamble)
 INTERPRET = False
 # True: weights packed in natural (fan_in, fan_out) orientation, kernel
 # contracts over dim 0 (no packing transposes). False: weights pre-transposed
@@ -47,7 +50,13 @@ INTERPRET = False
 # measured that variant fastest (133.6k vs 130.7k rays/s, PROFILE_r04.md) but
 # it was shipped off on a structural argument; both are kept measurable
 # (VERDICT r4 weak #2) and numerically identical (test_pallas_t).
+# On the merged 2-call step the question re-measured in natural's favor:
+# 136.0k vs 135.1k rays/s (tools/tpu_session_r05b.py P1).
 NATURAL_WEIGHTS = True
+# Forward grid steps are independent (disjoint out tiles, constant weights):
+# "parallel" lets Mosaic pipeline them. Backward stays "arbitrary" (weight
+# grads accumulate across steps).
+FWD_PARALLEL = True
 
 WIDTH = 256
 DEPTH = 8
@@ -351,6 +360,7 @@ def _const_spec(shape):
 
 def _fwd_call(pv, packed, C, dtype):
     n = pv.shape[1]
+    assert n % TILE == 0, (n, TILE)
     grid = n // TILE
     w_specs = [_const_spec(w.shape) for w in packed]
     return pl.pallas_call(
@@ -365,7 +375,9 @@ def _fwd_call(pv, packed, C, dtype):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((IN_ROWS, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=(
+                ("parallel",) if FWD_PARALLEL else ("arbitrary",)
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n * WIDTH * (PE_PAD + 6 * WIDTH + WIDTH + 2 * HEAD)
@@ -379,6 +391,8 @@ def _fwd_call(pv, packed, C, dtype):
 
 def _bwd_call(pv, packed, g, C, dtype):
     n = pv.shape[1]
+    # a non-dividing tile would silently drop the tail's gradients
+    assert n % BWD_TILE == 0, (n, BWD_TILE)
     grid = n // BWD_TILE
     w_specs = [_const_spec(w.shape) for w in packed]
     out_shapes = (
@@ -454,7 +468,12 @@ def fused_nerf_mlp(params, pts, viewdirs, *, num_freqs=10, num_freqs_views=4,
     pv = jnp.concatenate(
         [pts_T, vd_T, jnp.zeros((IN_ROWS - 6, n), pts.dtype)], axis=0
     )
-    n_pad = (-n) % TILE
+    # pad so BOTH grids divide exactly: a BWD_TILE that does not divide the
+    # fwd-padded n would silently drop the tail from the backward pass
+    import math as _math
+
+    block = _math.lcm(TILE, BWD_TILE)
+    n_pad = (-n) % block
     if n_pad:
         pv = jnp.pad(pv, ((0, 0), (0, n_pad)))
 

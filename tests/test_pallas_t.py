@@ -196,3 +196,26 @@ def test_pretransposed_weights_variant_matches():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-6)
         assert np.allclose(a, b, atol=1e-4 * scale)
+
+
+def test_bwd_tile_not_dividing_fwd_pad():
+    """BWD_TILE=768 does not divide 1024-multiples: fused_nerf_mlp must pad
+    to lcm(TILE, BWD_TILE) or the backward grid silently drops the tail's
+    gradients (caught in the r5 tile sweep)."""
+    params, pts, dirs = _inputs(R=16, S=64)  # n=1024: old padding kept 1024
+
+    def loss(p, x):
+        return jnp.sum(pallas_mlp_t.fused_nerf_mlp(p, x, dirs) ** 2)
+
+    g_ref = jax.grad(loss, argnums=1)(params, pts)
+    old = pallas_mlp_t.BWD_TILE
+    pallas_mlp_t.BWD_TILE = 768
+    try:
+        g = jax.grad(loss, argnums=1)(params, pts)
+    finally:
+        pallas_mlp_t.BWD_TILE = old
+    a, b = np.asarray(g), np.asarray(g_ref)
+    scale = max(np.abs(b).max(), 1e-9)
+    # the tail rows (points 768..1023) are exactly where the old bug zeroed
+    assert np.abs(a - b).max() < 1e-4 * scale
+    assert np.abs(a.reshape(-1, 3)[800:]).sum() > 0
