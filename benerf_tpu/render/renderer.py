@@ -135,11 +135,14 @@ def render_ray_families(
 
     bw, bwv = _barf_weights(settings, step)
 
-    def run_mlp(params, pts_, viewdirs_):
-        return mlp_ops.mlp_forward(
+    def run_split(params, pts_list, vd_list):
+        """One MLP call over all families. Off-mesh this is a plain concat +
+        single kernel; under SPMD the concat happens inside the shard_map
+        region on local shards so no resharding collectives appear (see
+        ops.mlp.mlp_forward_families)."""
+        return mlp_ops.mlp_forward_families(
             params,
-            pts_,
-            viewdirs_,
+            list(zip(pts_list, vd_list)),
             num_freqs=settings.multires,
             num_freqs_views=settings.multires_views,
             barf_weights=bw,
@@ -148,21 +151,6 @@ def render_ray_families(
             compute_dtype=settings.compute_dtype,
             mesh=mesh,
         )
-
-    def run_split(params, pts_list, vd_list):
-        """One MLP call over the concatenated families, split back."""
-        if n_fam == 1:
-            return [run_mlp(params, pts_list[0], vd_list[0])]
-        raw = run_mlp(
-            params,
-            jnp.concatenate(pts_list, axis=0),
-            None if vd_list[0] is None else jnp.concatenate(vd_list, axis=0),
-        )
-        out, off = [], 0
-        for r in (p.shape[0] for p in pts_list):
-            out.append(raw[off : off + r])
-            off += r
-        return out
 
     raws = run_split(nerf_params, [p for _, p in pts_l], viewdirs_l)
 
