@@ -115,32 +115,40 @@ def field_at(scene: BlobScene, pts: np.ndarray):
     return sigma, np.clip(rgb, 0.0, 1.0)
 
 
-def render_frame(scene, pose, H, W, K, n_samples=160, near=1.0, far=8.0):
+def render_frame(scene, pose, H, W, K, n_samples=160, near=1.0, far=8.0,
+                 row_chunk=64):
     """Reference-convention volume render of the analytic field (numpy).
 
     pose: (3,4) camera-to-world, OpenGL-style look-down--z like the training
-    renderer (render/rays.py).
+    renderer (render/rays.py). Rows are processed in chunks: field_at
+    broadcasts a (rows, W, S, K, 3) float64 intermediate, which at
+    production resolutions (600x400x160) would be ~15 GB per op unchunked.
     """
     i, j = np.meshgrid(np.arange(W), np.arange(H))
     dirs = np.stack(
         [(i - K[0, 2]) / K[0, 0], -(j - K[1, 2]) / K[1, 1], -np.ones_like(i)],
         axis=-1,
     )  # (H,W,3)
-    rays_d = dirs @ pose[:3, :3].T
+    rays_d_full = dirs @ pose[:3, :3].T
     rays_o = pose[:3, 3]
 
     z = np.linspace(near, far, n_samples)
-    pts = rays_o + rays_d[..., None, :] * z[:, None]  # (H,W,S,3)
-    sigma, rgb = field_at(scene, pts)
+    dz_base = np.diff(z, append=z[-1] + (z[-1] - z[-2]))
 
-    dz = np.diff(z, append=z[-1] + (z[-1] - z[-2]))
-    dz = dz * np.linalg.norm(rays_d, axis=-1)[..., None]
-    alpha = 1.0 - np.exp(-sigma * dz)
-    trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
-    trans = np.concatenate([np.ones_like(trans[..., :1]), trans[..., :-1]], -1)
-    w = alpha * trans
-    img = np.sum(w[..., None] * rgb, axis=-2)
-    return np.clip(img, 0.0, 1.0)
+    out = np.empty((H, W, 3))
+    for r0 in range(0, H, row_chunk):
+        rays_d = rays_d_full[r0 : r0 + row_chunk]
+        pts = rays_o + rays_d[..., None, :] * z[:, None]  # (h,W,S,3)
+        sigma, rgb = field_at(scene, pts)
+        dz = dz_base * np.linalg.norm(rays_d, axis=-1)[..., None]
+        alpha = 1.0 - np.exp(-sigma * dz)
+        trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
+        trans = np.concatenate(
+            [np.ones_like(trans[..., :1]), trans[..., :-1]], -1
+        )
+        w = alpha * trans
+        out[r0 : r0 + row_chunk] = np.sum(w[..., None] * rgb, axis=-2)
+    return np.clip(out, 0.0, 1.0)
 
 
 def lin_log_np(gray01, thres: float = 20.0):

@@ -45,6 +45,9 @@ def main():
                         "(configs/benerf_blender/tanabata.txt intrinsics)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--target_blur_px", type=float, default=6.0)
+    p.add_argument("--event_threshold", type=float, default=0.1,
+                   help="contrast threshold for BOTH the scene generator "
+                        "and the training loss (lower -> denser events)")
     p.add_argument("--use_barf_c2f", action="store_true")
     p.add_argument("--pose_init", default="reference",
                    choices=["reference", "motion_scale"])
@@ -74,6 +77,7 @@ def main():
         synthetic.write_benerf_blender_scene(
             datadir, H=H, W=W, focal=focal, seed=args.seed, n_images=1,
             target_blur_px=args.target_blur_px,
+            threshold=args.event_threshold,
         )
 
     base = quality.demo_config(
@@ -83,6 +87,7 @@ def main():
         save_model_iter=args.eval_iter,
         console_log_iter=1000,
         use_barf_c2f=args.use_barf_c2f,
+        event_threshold=args.event_threshold,
         pose_init=args.pose_init,
         fast_ray_sampling=args.fast_ray_sampling,
         compute_dtype=args.compute_dtype,
@@ -140,6 +145,7 @@ def main():
                      "fast_ray_sampling": args.fast_ray_sampling,
                      "compute_dtype": args.compute_dtype},
         "scene": {"H": H, "W": W, "focal": focal, "seed": args.seed,
+                  "event_threshold": args.event_threshold,
                   "target_blur_px": args.target_blur_px,
                   "n_events": int(scene.events.num)},
         "baseline": baseline,
