@@ -49,12 +49,19 @@ class BlobScene:
     background: np.ndarray = field(default_factory=lambda: np.zeros(3))
 
 
-def make_scene(seed: int = 0, n_blobs: int = 8, n_waves: int = 3) -> BlobScene:
+def make_scene(seed: int = 0, n_blobs: int = 8, n_waves: int = 3,
+               freq_scale: float = 1.0) -> BlobScene:
     """Opaque foreground blobs in front of a sinusoid-textured wall.
 
     Wave frequencies target a ~8-16 px period at the demo focal length
     (focal 90, wall depth 4 -> ~0.044 world units / px), i.e. content the
     blur sweep visibly destroys but PE(L=10) easily represents.
+
+    freq_scale: multiply the wall frequencies — at production focal
+    lengths (e.g. tanabata's 541.85) pass ~focal/90 so the texture period
+    stays 8-16 *pixels* and the blur sweep destroys comparable content
+    (otherwise the blurry input of a long-focal scene is unrealistically
+    sharp: 42 dB at 15 px blur in PROTOCOL_r05).
     """
     rng = np.random.default_rng(seed)
     centers = np.stack(
@@ -69,7 +76,7 @@ def make_scene(seed: int = 0, n_blobs: int = 8, n_waves: int = 3) -> BlobScene:
     colors = rng.uniform(0.15, 1.0, (n_blobs, 3))
     densities = rng.uniform(25.0, 60.0, n_blobs)
 
-    freqs = rng.uniform(9.0, 18.0, (n_waves, 2)) * rng.choice(
+    freqs = freq_scale * rng.uniform(9.0, 18.0, (n_waves, 2)) * rng.choice(
         [-1.0, 1.0], (n_waves, 2)
     )
     phases = rng.uniform(0.0, 2 * np.pi, (n_waves, 2))
@@ -275,7 +282,7 @@ def calibrated_trajectory(seed, K, wall_z=-4.0, n_images=1,
 
 def _generate_scene_core(
     outdir, H, W, focal, n_virtual, threshold, seed, n_images,
-    target_blur_px, brightness="log",
+    target_blur_px, brightness="log", wall_freq_scale=1.0,
 ):
     """Shared generation for all on-disk formats: render virtual frames
     along the calibrated GT spline, write blurry inputs + sharp GT PNGs,
@@ -283,7 +290,7 @@ def _generate_scene_core(
     ts (n_images+1,))."""
     from imageio.v3 import imwrite
 
-    scene = make_scene(seed)
+    scene = make_scene(seed, freq_scale=wall_freq_scale)
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float64)
     knots = calibrated_trajectory(
         seed, K, wall_z=scene.wall_z, n_images=n_images,
@@ -362,6 +369,7 @@ def write_benerf_blender_scene(
     seed: int = 0,
     n_images: int = 2,
     target_blur_px: float = 6.0,
+    wall_freq_scale: float = 1.0,
 ):
     """Write a BeNeRF_Blender-format scene directory; returns ground truth.
 
@@ -372,7 +380,7 @@ def write_benerf_blender_scene(
     """
     gt, events, ts = _generate_scene_core(
         outdir, H, W, focal, n_virtual, threshold, seed, n_images,
-        target_blur_px, brightness="log",
+        target_blur_px, brightness="log", wall_freq_scale=wall_freq_scale,
     )
     np.save(os.path.join(outdir, "events", "events.npy"), events)
     np.savetxt(os.path.join(outdir, "poses_ts.txt"), ts)
@@ -385,6 +393,7 @@ def write_benerf_blender_scene(
         "n_images": n_images, "n_virtual": n_virtual,
         "event_threshold": threshold,
         "target_blur_px": target_blur_px,
+        "wall_freq_scale": wall_freq_scale,
     })
     return gt
 

@@ -121,7 +121,8 @@ def initial_pose_error(scene, cfg, K, H, W) -> dict:
 
 
 def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
-                H: int = 80, W: int = 80, seed: int = 0,
+                H: int = 80, W: int = 80, focal: float = 90.0,
+                seed: int = 0,
                 init_from_gt: float = None, dataset: str = "BeNeRF_Blender",
                 **cfg_overrides):
     """Generate scene -> train -> collect checkpoints. Returns the artifact
@@ -143,12 +144,14 @@ def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
     # scene-generator params must leave cfg_overrides even when the scene
     # already exists on disk (they are not Config fields)
     scene_kw = {k: cfg_overrides.pop(k) for k in
-                ("target_blur_px", "threshold", "n_virtual")
+                ("target_blur_px", "threshold", "n_virtual",
+                 "wall_freq_scale")
                 if k in cfg_overrides}
     family = {
         "BeNeRF_Blender": dict(
             writer=lambda: synthetic.write_benerf_blender_scene(
-                datadir, H=H, W=W, seed=seed, n_images=1, **scene_kw),
+                datadir, H=H, W=W, focal=focal, seed=seed, n_images=1,
+                **scene_kw),
             cfg=dict(dataset="BeNeRF_Blender", event_threshold=0.1),
         ),
         # accumulate_time_length 0.25 == all shipped e2nerf configs
@@ -171,8 +174,8 @@ def run_quality(workdir: str, iters: int = 4000, evals: int = 4,
 
     fam_cfg = dict(family["cfg"])
     fam_cfg.update(cfg_overrides)
-    cfg = demo_config(datadir, logdir, iters, evals, H=H, W=W, seed=seed,
-                      **fam_cfg)
+    cfg = demo_config(datadir, logdir, iters, evals, H=H, W=W, focal=focal,
+                      seed=seed, **fam_cfg)
     scene = datasets.load_scene(datadir, cfg)
     if scene.imgtest is None:
         # E2NeRF_Real: the loader is faithful to the real datasets (no GT
